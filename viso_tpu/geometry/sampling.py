@@ -1,0 +1,94 @@
+"""Batched bilinear image sampling and gradients.
+
+TPU-native replacement for the reference's scalar samplers
+(`/root/reference/include/common.h:35-59` — `GetPixelValue` bilinear
+interpolation and `GetImageGradient{,X,Y}` central differences, duplicated
+as `Keyframe` methods at `include/keyframe.h:50-64`).
+
+Images are float arrays (H, W). Sample positions are float pixel
+coordinates (..., 2) in (u=x=col, v=y=row) order, matching the reference.
+Out-of-bounds coordinates are clamped (the reference clamps too,
+common.h:37-38); callers combine with `camera.is_inside` masks.
+
+All functions are gather-based and `vmap`-free by construction: they accept
+arbitrary batch shapes of coordinates directly, so XLA sees one big gather
+(which maps far better onto the TPU memory system than many small ones).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _gather(img, yi, xi):
+    """img (H, W); yi, xi int arrays of identical batch shape -> values."""
+    H, W = img.shape[-2], img.shape[-1]
+    yi = jnp.clip(yi, 0, H - 1)
+    xi = jnp.clip(xi, 0, W - 1)
+    flat = img.reshape(img.shape[:-2] + (H * W,))
+    return jnp.take(flat, yi * W + xi, axis=-1)
+
+
+def bilinear(img, uv):
+    """Bilinear sample img (H, W) at uv (..., 2) -> (...,). Ref common.h:35-42."""
+    u = uv[..., 0]
+    v = uv[..., 1]
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = u - x0
+    fy = v - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    v00 = _gather(img, y0i, x0i)
+    v01 = _gather(img, y0i, x0i + 1)
+    v10 = _gather(img, y0i + 1, x0i)
+    v11 = _gather(img, y0i + 1, x0i + 1)
+    return (
+        (1 - fx) * (1 - fy) * v00
+        + fx * (1 - fy) * v01
+        + (1 - fx) * fy * v10
+        + fx * fy * v11
+    )
+
+
+def gradient(img, uv, delta: float = 1.0):
+    """Central-difference image gradient at uv (..., 2) -> (..., 2) [gx, gy].
+
+    Ref common.h:44-59 uses half-pixel central differences on the bilinear
+    surface; we use +-delta (default 1 px) central differences of the
+    bilinear interpolant, which is the same estimator family.
+    """
+    du = jnp.stack([jnp.full_like(uv[..., 0], delta), jnp.zeros_like(uv[..., 0])], axis=-1)
+    dv = jnp.stack([jnp.zeros_like(uv[..., 0]), jnp.full_like(uv[..., 0], delta)], axis=-1)
+    gx = (bilinear(img, uv + du) - bilinear(img, uv - du)) / (2.0 * delta)
+    gy = (bilinear(img, uv + dv) - bilinear(img, uv - dv)) / (2.0 * delta)
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def patch_offsets(half: int, dtype=jnp.float32):
+    """Dense (2*half, 2*half, 2) grid of integer offsets in [-half, half).
+
+    Matches the reference's patch convention `for x in [-half, half) for y
+    in [-half, half)` (viso.cpp:269-276): an 8x8 patch for half=4.
+    """
+    r = jnp.arange(-half, half, dtype=dtype)
+    oy, ox = jnp.meshgrid(r, r, indexing="ij")
+    return jnp.stack([ox, oy], axis=-1)  # (P, P, 2) in (du, dv) order
+
+
+def sample_patches(img, centers, half: int):
+    """Sample square patches around centers.
+
+    img: (H, W); centers: (N, 2) float pixel coords.
+    Returns (N, 2*half, 2*half) bilinear patch values.
+    """
+    offs = patch_offsets(half, dtype=centers.dtype)  # (P, P, 2)
+    uv = centers[:, None, None, :] + offs[None]  # (N, P, P, 2)
+    return bilinear(img, uv)
+
+
+def sample_patches_with_grad(img, centers, half: int):
+    """Patches plus per-pixel gradients: (N,P,P), (N,P,P,2)."""
+    offs = patch_offsets(half, dtype=centers.dtype)
+    uv = centers[:, None, None, :] + offs[None]
+    return bilinear(img, uv), gradient(img, uv)
