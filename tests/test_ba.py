@@ -1,0 +1,172 @@
+"""Bundle adjustment and pose-graph tests on synthetic problems with
+known ground truth."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from viso_tpu.backend import ba, pose_graph
+from viso_tpu.geometry import se3
+
+
+def synthetic_window(rng, C=6, L=128, noise_px=0.5, focal=520.0, pose_noise=0.02):
+    """A camera trajectory looking at a point cloud; noisy initialization."""
+    pts = np.stack(
+        [rng.uniform(-4, 4, L), rng.uniform(-3, 3, L), rng.uniform(8, 16, L)],
+        axis=-1,
+    ).astype(np.float32)
+    R_true = np.zeros((C, 3, 3), np.float32)
+    t_true = np.zeros((C, 3), np.float32)
+    for c in range(C):
+        xi = np.array(
+            [0.4 * c, 0.05 * c, 0.02 * c, 0.01 * c, -0.02 * c, 0.005 * c],
+            np.float32,
+        )
+        R_c, t_c = se3.se3_exp(jnp.array(xi))
+        R_true[c], t_true[c] = np.asarray(R_c), np.asarray(t_c)
+    # Observations with pixel noise.
+    obs = np.zeros((C, L, 2), np.float32)
+    mask = np.zeros((C, L), bool)
+    for c in range(C):
+        pc = pts @ R_true[c].T + t_true[c]
+        ok = pc[:, 2] > 1.0
+        uv = pc[:, :2] / pc[:, 2:3]
+        obs[c] = uv + rng.normal(0, noise_px / focal, uv.shape)
+        mask[c] = ok
+    # Perturb non-fixed cameras and all points for the initial guess.
+    R0, t0 = R_true.copy(), t_true.copy()
+    for c in range(2, C):
+        xi = rng.normal(0, pose_noise, 6).astype(np.float32)
+        dR, dt = se3.se3_exp(jnp.array(xi))
+        R0[c] = np.asarray(dR) @ R0[c]
+        t0[c] = np.asarray(dR) @ t0[c] + np.asarray(dt)
+    pts0 = pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)
+    prob = ba.BAProblem(
+        R=jnp.array(R0),
+        t=jnp.array(t0),
+        points=jnp.array(pts0),
+        obs_uv=jnp.array(obs),
+        obs_mask=jnp.array(mask),
+        cam_mask=jnp.ones(C, bool),
+        point_mask=jnp.ones(L, bool),
+    )
+    return prob, (R_true, t_true, pts)
+
+
+def pose_errors(R_est, t_est, R_true, t_true):
+    errs = []
+    for c in range(R_true.shape[0]):
+        dR = np.asarray(R_est)[c] @ R_true[c].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        dt = np.linalg.norm(np.asarray(t_est)[c] - t_true[c])
+        errs.append((ang, dt))
+    return np.array(errs)
+
+
+def test_ba_reduces_cost_and_recovers_poses(rng):
+    prob, (R_true, t_true, pts) = synthetic_window(rng)
+    params = ba.BAParams(iters=15, num_fixed=2)
+    out, info = ba.solve(prob, params)
+    assert float(info["final_cost"]) < float(info["initial_cost"]) * 0.1
+    errs0 = pose_errors(prob.R, prob.t, R_true, t_true)
+    errs1 = pose_errors(out.R, out.t, R_true, t_true)
+    # Pose errors should shrink substantially vs the perturbed init.
+    assert errs1[2:, 0].max() < errs0[2:, 0].max() * 0.3 + 1e-3
+    assert errs1[2:, 1].max() < 0.02
+    # Points should be near truth.
+    # Depth-dominated bound: sigma_z ~ z^2 sigma_px / (f * baseline) ~ 0.07
+    # at z~12, b~2, 0.5 px noise — median error should sit near it.
+    pt_err = np.linalg.norm(np.asarray(out.points) - pts, axis=-1)
+    assert np.median(pt_err) < 0.1
+
+
+def test_ba_respects_masks(rng):
+    prob, _ = synthetic_window(rng, C=6, L=64)
+    # Kill camera 5 and half the points: they must not move.
+    cam_mask = np.ones(6, bool)
+    cam_mask[5] = False
+    point_mask = np.ones(64, bool)
+    point_mask[32:] = False
+    prob = prob._replace(
+        cam_mask=jnp.array(cam_mask), point_mask=jnp.array(point_mask)
+    )
+    out, info = ba.solve(prob, ba.BAParams(iters=5, num_fixed=2))
+    assert np.allclose(np.asarray(out.R)[5], np.asarray(prob.R)[5])
+    assert np.allclose(np.asarray(out.t)[5], np.asarray(prob.t)[5])
+    assert np.allclose(np.asarray(out.points)[32:], np.asarray(prob.points)[32:])
+    # Fixed gauge cameras must not move either.
+    assert np.allclose(np.asarray(out.R)[:2], np.asarray(prob.R)[:2])
+
+
+def test_ba_with_outlier_observations(rng):
+    prob, (R_true, t_true, pts) = synthetic_window(rng, C=5, L=96)
+    # Corrupt 10% of observations grossly; Huber should contain them.
+    obs = np.asarray(prob.obs_uv).copy()
+    n_bad = 48
+    bc = rng.integers(2, 5, n_bad)
+    bl = rng.integers(0, 96, n_bad)
+    obs[bc, bl] += rng.uniform(0.05, 0.2, (n_bad, 2)) * np.sign(
+        rng.normal(size=(n_bad, 2))
+    )
+    prob = prob._replace(obs_uv=jnp.array(obs.astype(np.float32)))
+    out, info = ba.solve(prob, ba.BAParams(iters=15, num_fixed=2))
+    errs1 = pose_errors(out.R, out.t, R_true, t_true)
+    assert errs1[2:, 0].max() < 0.5  # degrees
+    assert errs1[2:, 1].max() < 0.05
+
+
+def make_loop_graph(rng, K=12, drift=0.03):
+    """Circular trajectory with odometry drift + one loop-closure edge."""
+    R_true = np.zeros((K, 3, 3), np.float32)
+    t_true = np.zeros((K, 3), np.float32)
+    for k in range(K):
+        ang = 2 * np.pi * k / K
+        xi = np.array([2 * np.sin(ang), 0.0, 2 * (1 - np.cos(ang)), 0.0, ang, 0.0], np.float32)
+        R_k, t_k = se3.se3_exp(jnp.array(xi))
+        R_true[k], t_true[k] = np.asarray(R_k), np.asarray(t_k)
+    E = K + 1  # sequential odometry + loop edge
+    ei = np.arange(E) % K
+    ej = (np.arange(E) + 1) % K
+    ei[-1], ej[-1] = K - 1, 0
+    R_ij = np.zeros((E, 3, 3), np.float32)
+    t_ij = np.zeros((E, 3), np.float32)
+    for e in range(E):
+        Rr, tr = se3.relative(
+            jnp.array(R_true[ei[e]]), jnp.array(t_true[ei[e]]),
+            jnp.array(R_true[ej[e]]), jnp.array(t_true[ej[e]]),
+        )
+        R_ij[e], t_ij[e] = np.asarray(Rr), np.asarray(tr)
+    # Drifting initialization: integrate noisy odometry.
+    R0 = R_true.copy()
+    t0 = t_true.copy()
+    for k in range(1, K):
+        xi = rng.normal(0, drift, 6).astype(np.float32)
+        dR, dt = se3.se3_exp(jnp.array(xi))
+        R0[k] = np.asarray(dR) @ R0[k]
+        t0[k] = np.asarray(dR) @ t0[k] + np.asarray(dt)
+    return pose_graph.PoseGraph(
+        R=jnp.array(R0),
+        t=jnp.array(t0),
+        node_mask=jnp.ones(K, bool),
+        edge_i=jnp.array(ei, jnp.int32),
+        edge_j=jnp.array(ej, jnp.int32),
+        R_ij=jnp.array(R_ij),
+        t_ij=jnp.array(t_ij),
+        edge_weight=jnp.ones(E, jnp.float32),
+        edge_mask=jnp.ones(E, bool),
+    ), (R_true, t_true)
+
+
+def test_pose_graph_closes_loop(rng):
+    graph, (R_true, t_true) = make_loop_graph(rng)
+    out, info = pose_graph.solve(graph, pose_graph.PGParams(iters=25))
+    assert float(info["final_cost"]) < float(info["initial_cost"]) * 1e-2
+    errs = pose_errors(out.R, out.t, R_true, t_true)
+    errs0 = pose_errors(graph.R, graph.t, R_true, t_true)
+    assert errs[1:, 1].max() < errs0[1:, 1].max() * 0.5
+    assert errs[1:, 0].max() < 1.0
+
+
+def test_pose_graph_edge_residual_zero_at_truth(rng):
+    graph, (R_true, t_true) = make_loop_graph(rng, drift=0.0)
+    r = pose_graph.residuals(graph)
+    assert np.abs(np.asarray(r)).max() < 1e-4
