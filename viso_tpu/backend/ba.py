@@ -137,8 +137,14 @@ def _inv3x3(M):
     return adj / det[..., None, None]
 
 
-def compute_cost(prob: BAProblem, params: BAParams = BAParams(), trunc=None):
-    """Total robust reprojection cost (scalar) and per-obs validity count."""
+def compute_cost(
+    prob: BAProblem, params: BAParams = BAParams(), trunc=None, axis_name=None
+):
+    """Total robust reprojection cost (scalar) and per-obs validity count.
+
+    With `axis_name`, landmark-sharded partial sums are `psum`ed over the
+    mesh axis (distributed BA, parallel/dist_ba.py).
+    """
     valid = prob.obs_mask & prob.cam_mask[:, None] & prob.point_mask[None, :]
     r, ok, _ = _project_residuals(
         prob.R, prob.t, prob.points, prob.obs_uv, valid, params.min_depth
@@ -149,11 +155,25 @@ def compute_cost(prob: BAProblem, params: BAParams = BAParams(), trunc=None):
     trunc = params.trunc if trunc is None else trunc
     rho = robust.tukey_cost(r_norm, trunc)
     cost = jnp.sum(jnp.where(ok, rho, 0.0))
-    return cost, jnp.sum(ok)
+    n_obs = jnp.sum(ok)
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
+        n_obs = jax.lax.psum(n_obs, axis_name)
+    return cost, n_obs
 
 
-def _lm_iteration(R, t, points, prob: BAProblem, lam, trunc, params: BAParams, C):
-    """One LM step: build normal equations, Schur-reduce, solve, update."""
+def _lm_iteration(
+    R, t, points, prob: BAProblem, lam, trunc, params: BAParams, C,
+    axis_name=None,
+):
+    """One LM step: build normal equations, Schur-reduce, solve, update.
+
+    With `axis_name` (landmark-sharded distributed mode): camera-block
+    partial sums (U, g_c) and the Schur cross terms ride ICI via `psum`;
+    everything landmark-indexed (V, V^-1, W, Y, g_p, delta_p) stays
+    shard-local — exactly the layout SURVEY.md §2 prescribes. The reduced
+    6Cx6C camera solve is replicated on every device.
+    """
     valid = prob.obs_mask & prob.cam_mask[:, None] & prob.point_mask[None, :]
     r, ok, p_cam = _project_residuals(
         R, t, points, prob.obs_uv, valid, params.min_depth
@@ -171,6 +191,9 @@ def _lm_iteration(R, t, points, prob: BAProblem, lam, trunc, params: BAParams, C
     W = jnp.einsum("clai,claj->clij", Jc_w, Jp)
     g_c = -jnp.einsum("clai,cla->ci", Jc_w, r)
     g_p = -jnp.einsum("clai,cla->li", Jp * w[..., None, None], r)
+    if axis_name is not None:
+        U = jax.lax.psum(U, axis_name)
+        g_c = jax.lax.psum(g_c, axis_name)
 
     # LM damping (multiplicative on the diagonal).
     eye6 = jnp.eye(6, dtype=r.dtype)
@@ -181,9 +204,14 @@ def _lm_iteration(R, t, points, prob: BAProblem, lam, trunc, params: BAParams, C
     # Marginalize landmarks (Schur): batched closed-form 3x3 inverses.
     V_inv = _inv3x3(V_d) * prob.point_mask[:, None, None]
     Y = jnp.einsum("clij,ljk->clik", W, V_inv)
-    S = -jnp.einsum("clik,dljk->cdij", Y, W)
-    S = S.at[jnp.arange(C), jnp.arange(C)].add(U_d)
-    b_red = g_c - jnp.einsum("clik,lk->ci", Y, g_p)
+    S_cross = -jnp.einsum("clik,dljk->cdij", Y, W)
+    b_cross = jnp.einsum("clik,lk->ci", Y, g_p)
+    if axis_name is not None:
+        # Only the (6C)^2 + 6C reduced system crosses the interconnect.
+        S_cross = jax.lax.psum(S_cross, axis_name)
+        b_cross = jax.lax.psum(b_cross, axis_name)
+    S = S_cross.at[jnp.arange(C), jnp.arange(C)].add(U_d)
+    b_red = g_c - b_cross
 
     # Gauge/freeze mask: first num_fixed cameras and unused slots.
     free = prob.cam_mask & (jnp.arange(C) >= params.num_fixed)
@@ -211,13 +239,14 @@ def _lm_iteration(R, t, points, prob: BAProblem, lam, trunc, params: BAParams, C
     return R_new, t_new, points_new
 
 
-@partial(jax.jit, static_argnames=("params",))
-def solve(prob: BAProblem, params: BAParams = BAParams()):
+def solve_impl(prob: BAProblem, params: BAParams = BAParams(), axis_name=None):
     """Run LM for `params.iters` iterations. Returns (BAProblem, info dict).
 
     Branchless accept/reject: a rejected step keeps the state and raises
     the damping, mirroring g2o's Levenberg strategy
     (bundle_adjuster.h:115-117) without data-dependent control flow.
+    `axis_name` enables the landmark-sharded distributed path (call from
+    inside `shard_map`; see parallel/dist_ba.py).
     """
     C = prob.R.shape[0]
     # GNC schedule for the truncation radius.
@@ -226,11 +255,13 @@ def solve(prob: BAProblem, params: BAParams = BAParams()):
     def body(state, trunc):
         R, t, points, lam = state
         cost, _ = compute_cost(
-            prob._replace(R=R, t=t, points=points), params, trunc
+            prob._replace(R=R, t=t, points=points), params, trunc, axis_name
         )
-        R_n, t_n, p_n = _lm_iteration(R, t, points, prob, lam, trunc, params, C)
+        R_n, t_n, p_n = _lm_iteration(
+            R, t, points, prob, lam, trunc, params, C, axis_name
+        )
         new_cost, _ = compute_cost(
-            prob._replace(R=R_n, t=t_n, points=p_n), params, trunc
+            prob._replace(R=R_n, t=t_n, points=p_n), params, trunc, axis_name
         )
         accept = new_cost < cost
         R = jnp.where(accept, R_n, R)
@@ -243,10 +274,12 @@ def solve(prob: BAProblem, params: BAParams = BAParams()):
         )
         return (R, t, points, lam), jnp.minimum(new_cost, cost)
 
-    cost0, n_obs = compute_cost(prob, params)
+    cost0, n_obs = compute_cost(prob, params, None, axis_name)
     init = (prob.R, prob.t, prob.points, jnp.asarray(params.lam0, prob.R.dtype))
     (R, t, points, lam), cost_hist = jax.lax.scan(body, init, truncs)
-    cost, _ = compute_cost(prob._replace(R=R, t=t, points=points), params)
+    cost, _ = compute_cost(
+        prob._replace(R=R, t=t, points=points), params, None, axis_name
+    )
     out = prob._replace(R=R, t=t, points=points)
     info = {
         "initial_cost": cost0,
@@ -256,3 +289,6 @@ def solve(prob: BAProblem, params: BAParams = BAParams()):
         "final_lambda": lam,
     }
     return out, info
+
+
+solve = jax.jit(solve_impl, static_argnames=("params",))

@@ -1,0 +1,94 @@
+"""Distributed bundle adjustment: landmarks sharded over a device mesh.
+
+No reference counterpart exists (the reference is single-threaded CPU,
+SURVEY.md §2 "Parallelism: NONE"); this implements the north-star
+distributed BA design: keyframe (camera) blocks replicated, landmark
+blocks and their Schur marginalization shard-local, and only the reduced
+camera system — (6C)^2 + 6C floats per LM iteration — crossing the
+interconnect via `psum` (ICI on a pod slice).
+
+Communication analysis: for C = 16 window cameras the reduced system is
+~37 KB/iteration regardless of landmark count, so scaling efficiency is
+bounded by compute balance, not bandwidth — the landmark dimension is
+padded to a multiple of the mesh size and split evenly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from viso_tpu.backend import ba
+from viso_tpu.parallel.mesh import LANDMARK_AXIS
+
+
+def pad_landmarks(prob: ba.BAProblem, multiple: int) -> ba.BAProblem:
+    """Pad the landmark axis so it splits evenly across the mesh."""
+    L = prob.points.shape[0]
+    pad = (-L) % multiple
+    if pad == 0:
+        return prob
+    return prob._replace(
+        points=jnp.pad(prob.points, ((0, pad), (0, 0))),
+        obs_uv=jnp.pad(prob.obs_uv, ((0, 0), (0, pad), (0, 0))),
+        obs_mask=jnp.pad(prob.obs_mask, ((0, 0), (0, pad))),
+        point_mask=jnp.pad(prob.point_mask, ((0, pad),)),
+    )
+
+
+def solve_sharded(
+    prob: ba.BAProblem,
+    params: ba.BAParams = ba.BAParams(),
+    mesh: Mesh | None = None,
+):
+    """Distributed ba.solve over `mesh` (defaults to all devices).
+
+    Returns (BAProblem, info) like ba.solve; the input problem may have
+    any landmark count (padded internally).
+    """
+    from viso_tpu.parallel.mesh import make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    prob_p = pad_landmarks(prob, n_dev)
+    L = prob_p.points.shape[0]
+
+    lm_specs = ba.BAProblem(
+        R=P(), t=P(), points=P(LANDMARK_AXIS),
+        obs_uv=P(None, LANDMARK_AXIS), obs_mask=P(None, LANDMARK_AXIS),
+        cam_mask=P(), point_mask=P(LANDMARK_AXIS),
+    )
+    out_specs = (
+        lm_specs,
+        {
+            "initial_cost": P(),
+            "final_cost": P(),
+            "cost_history": P(),
+            "num_obs": P(),
+            "final_lambda": P(),
+        },
+    )
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=(lm_specs,), out_specs=out_specs,
+        check_vma=False,
+    )
+    def _run(p):
+        return ba.solve_impl(p, params, axis_name=LANDMARK_AXIS)
+
+    out, info = jax.jit(_run)(prob_p)
+    # Strip padding.
+    L0 = prob.points.shape[0]
+    out = out._replace(
+        points=out.points[:L0],
+        obs_uv=out.obs_uv[:, :L0],
+        obs_mask=out.obs_mask[:, :L0],
+        point_mask=out.point_mask[:L0],
+    )
+    del L
+    return out, info
