@@ -87,6 +87,49 @@ def sample_patches(img, centers, half: int):
     return bilinear(img, uv)
 
 
+def bilinear_indexed(imgs, k, uv):
+    """Bilinear sample from a *stack* of images with a per-item index.
+
+    imgs: (K, H, W); k: (N,) int32 image indices; uv: (N, ..., 2).
+    Used by map-to-frame alignment where each pair reads its own
+    best-viewing reference keyframe (ref viso.cpp:768-843) — one flat
+    gather instead of N image copies.
+    """
+    K, H, W = imgs.shape
+    flat = imgs.reshape(K * H * W)
+    u = uv[..., 0]
+    v = uv[..., 1]
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = u - x0
+    fy = v - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    extra = uv.ndim - 2  # batch dims beyond N
+    k_b = k.reshape((k.shape[0],) + (1,) * extra)
+    base = k_b * (H * W)
+    i00 = base + y0i * W + x0i
+    v00 = jnp.take(flat, i00)
+    v01 = jnp.take(flat, i00 + 1)
+    v10 = jnp.take(flat, i00 + W)
+    v11 = jnp.take(flat, i00 + W + 1)
+    return (
+        (1 - fx) * (1 - fy) * v00
+        + fx * (1 - fy) * v01
+        + (1 - fx) * fy * v10
+        + fx * fy * v11
+    )
+
+
+def gradient_indexed(imgs, k, uv, delta: float = 1.0):
+    """Central-difference gradient of `bilinear_indexed` samples (..., 2)."""
+    du = jnp.stack([jnp.full_like(uv[..., 0], delta), jnp.zeros_like(uv[..., 0])], axis=-1)
+    dv = jnp.stack([jnp.zeros_like(uv[..., 0]), jnp.full_like(uv[..., 0], delta)], axis=-1)
+    gx = (bilinear_indexed(imgs, k, uv + du) - bilinear_indexed(imgs, k, uv - du)) / (2 * delta)
+    gy = (bilinear_indexed(imgs, k, uv + dv) - bilinear_indexed(imgs, k, uv - dv)) / (2 * delta)
+    return jnp.stack([gx, gy], axis=-1)
+
+
 def sample_patches_with_grad(img, centers, half: int):
     """Patches plus per-pixel gradients: (N,P,P), (N,P,P,2)."""
     offs = patch_offsets(half, dtype=centers.dtype)
