@@ -51,6 +51,10 @@ class BAProblem(NamedTuple):
     obs_mask: jnp.ndarray   # (C, L) bool — camera c observes landmark l
     cam_mask: jnp.ndarray   # (C,) bool — slot in use
     point_mask: jnp.ndarray  # (L,) bool — slot in use
+    # Optional explicit gauge mask: cameras frozen in addition to the
+    # first `params.num_fixed` slots (round-robin windows don't keep the
+    # oldest camera at index 0). None = only num_fixed applies.
+    cam_fixed: jnp.ndarray | None = None
 
 
 class BAParams(NamedTuple):
@@ -213,8 +217,11 @@ def _lm_iteration(
     S = S_cross.at[jnp.arange(C), jnp.arange(C)].add(U_d)
     b_red = g_c - b_cross
 
-    # Gauge/freeze mask: first num_fixed cameras and unused slots.
+    # Gauge/freeze mask: first num_fixed cameras, explicit cam_fixed
+    # slots, and unused slots.
     free = prob.cam_mask & (jnp.arange(C) >= params.num_fixed)
+    if prob.cam_fixed is not None:
+        free = free & ~prob.cam_fixed
     free_f = free.astype(r.dtype)
     S = S * free_f[:, None, None, None] * free_f[None, :, None, None]
     S = S.at[jnp.arange(C), jnp.arange(C)].add(

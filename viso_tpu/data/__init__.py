@@ -1,1 +1,3 @@
-"""viso_tpu.data"""
+"""Data ingestion: synthetic scenes and dataset loaders."""
+
+from viso_tpu.data import synthetic  # noqa: F401

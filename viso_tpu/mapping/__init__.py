@@ -1,1 +1,4 @@
-"""viso_tpu.mapping"""
+"""SoA map state (keyframes, landmarks, observations)."""
+
+from viso_tpu.mapping import map_state  # noqa: F401
+from viso_tpu.mapping.map_state import MapState  # noqa: F401

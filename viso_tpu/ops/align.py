@@ -34,17 +34,22 @@ class AlignParams(NamedTuple):
     max_shift: float = 4.0  # reject refinements that moved further than this
 
 
-def select_reference_keyframes(points_w, kf_R, kf_t, kf_mask):
+def select_reference_keyframes(points_w, kf_R, kf_t, kf_mask, obs_mask=None):
     """Best-viewing-angle keyframe per point (ref viso.cpp:782-806).
 
     points_w (L, 3); kf_R (K, 3, 3); kf_t (K, 3); kf_mask (K,).
-    Returns (kf_idx (L,), cos_angle (L,)).
+    obs_mask (K, L), optional: restrict the choice to keyframes that
+    actually observe the landmark (a keyframe without an observation has
+    no template patch to align against).
+    Returns (kf_idx (L,), cos_angle (L,)); cos_angle is -inf for points
+    with no eligible keyframe.
     """
     p_cam = jnp.einsum("kij,lj->kli", kf_R, points_w) + kf_t[:, None, :]
     cosang = cam_mod.viewing_cos(p_cam)  # (K, L)
-    cosang = jnp.where(
-        kf_mask[:, None] & (p_cam[..., 2] > 1e-3), cosang, -jnp.inf
-    )
+    eligible = kf_mask[:, None] & (p_cam[..., 2] > 1e-3)
+    if obs_mask is not None:
+        eligible = eligible & obs_mask
+    cosang = jnp.where(eligible, cosang, -jnp.inf)
     k_best = jnp.argmax(cosang, axis=0)
     return k_best, jnp.max(cosang, axis=0)
 

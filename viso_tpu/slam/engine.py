@@ -1,0 +1,515 @@
+"""Visual-odometry / SLAM engines: the per-frame state machine.
+
+TPU-native replacement for the reference's `Viso` class
+(`/root/reference/include/viso.h`, `src/viso.cpp:7-145`): the
+kInitialization / kRunning state machine (viso.h:13-17) with FAST
+re-seeding every `reinitialize_after` frames (viso.cpp:14,100-108), LK
+bootstrap tracking, two-view initialization with the >50-track / >90%%
+inlier acceptance gate (viso.cpp:76-77), direct photometric tracking
+(viso.cpp:113-121) and LK map-to-frame alignment (viso.cpp:768-843) —
+plus everything the reference only intended: keyframe management, new
+landmark triangulation, sliding-window BA (bundle_adjuster.h), stereo,
+and PnP (BASELINE.json configs 2-4).
+
+Architecture: frame-rate decisions (state transitions, keyframe policy)
+are host-side Python — they are per-frame scalars, exactly like the
+reference's control flow — while every per-feature / per-pixel
+computation is a jitted static-shape kernel from viso_tpu.ops /
+viso_tpu.backend. All kernel inputs keep identical shapes across frames,
+so each kernel traces exactly once per run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viso_tpu.backend import ba
+from viso_tpu.geometry import camera as cam_mod
+from viso_tpu.geometry import se3
+from viso_tpu.mapping import map_state
+from viso_tpu.ops import align, direct, fast, lk, pnp, pyramid, stereo, twoview
+
+
+@dataclass
+class VOConfig:
+    # Image geometry
+    height: int = 376
+    width: int = 1241
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    baseline: float = 0.537   # stereo baseline (m), KITTI default
+
+    # Capacities (static shapes)
+    max_keyframes: int = 8
+    max_landmarks: int = 2048
+    num_features: int = 512   # detected per keyframe
+    pyramid_levels: int = 4
+
+    # Detection
+    fast_threshold: float = 25.0
+    detect_grid: tuple = (6, 12)
+
+    # Initialization (reference gates, viso.h:20-26 / viso.cpp:76-77)
+    reinitialize_after: int = 10
+    min_init_tracks: int = 50
+    min_init_inlier_ratio: float = 0.9
+    init_projection_error_px: float = 1.0
+    init_parallax_deg: float = 60.0
+    disparity_squared_thresh: float = 15.0**2
+
+    # Tracking
+    ransac_threshold_px: float = 2.0
+    min_tracked_points: int = 30
+
+    # Keyframe policy
+    kf_min_gap: int = 3
+    kf_max_gap: int = 20
+    kf_min_visible_frac: float = 0.6
+
+    # Backend
+    ba_iters: int = 8
+    ba_huber_px: float = 3.0
+    ba_trunc_px: float = 10.0
+    run_ba: bool = True
+
+    # Stereo
+    max_disparity: int = 128
+    min_stereo_depth: float = 0.5
+    max_stereo_depth: float = 80.0
+
+    seed: int = 0
+
+    def intrinsics(self):
+        return cam_mod.Intrinsics.create(self.fx, self.fy, self.cx, self.cy)
+
+
+@dataclass
+class FrameResult:
+    R: np.ndarray
+    t: np.ndarray
+    num_tracked: int = 0
+    num_landmarks: int = 0
+    is_keyframe: bool = False
+    state: str = "init"
+
+
+class BaseVO:
+    """Shared machinery for monocular and stereo engines."""
+
+    def __init__(self, config: VOConfig):
+        self.cfg = config
+        self.intr = config.intrinsics()
+        self.key = jax.random.PRNGKey(config.seed)
+        self.map = map_state.empty(
+            config.max_keyframes,
+            config.max_landmarks,
+            (config.height, config.width),
+            config.pyramid_levels,
+        )
+        self.frame_idx = -1
+        self.last_pyr = None
+        self.R = jnp.eye(3, dtype=jnp.float32)
+        self.t = jnp.zeros(3, jnp.float32)
+        self.prev_R = self.R
+        self.prev_t = self.t
+        self.last_kf_frame = -(10**9)
+        self.kf_order: list[int] = []   # slots, oldest first
+        self.results: list[FrameResult] = []
+
+    # -- helpers -------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _next_kf_slot(self) -> int:
+        cfg = self.cfg
+        if len(self.kf_order) < cfg.max_keyframes:
+            used = set(self.kf_order)
+            for s in range(cfg.max_keyframes):
+                if s not in used:
+                    return s
+        # Evict the oldest.
+        oldest = self.kf_order.pop(0)
+        self.map = map_state.evict_keyframe(self.map, oldest)
+        return oldest
+
+    def _motion_prediction(self):
+        """Constant-velocity model: T_pred = (T_cur T_prev^-1) T_cur."""
+        dR, dt = se3.relative(self.R, self.t, self.prev_R, self.prev_t)
+        return se3.compose(dR, dt, self.R, self.t)
+
+    def _detect(self, pyr):
+        cfg = self.cfg
+        uv, score, mask = fast.detect_grid(
+            pyr[0],
+            threshold=cfg.fast_threshold,
+            grid=cfg.detect_grid,
+            per_cell=max(1, cfg.num_features // (cfg.detect_grid[0] * cfg.detect_grid[1])),
+        )
+        return uv, score, mask
+
+    def _run_window_ba(self, fixed_slots):
+        cfg = self.cfg
+        prob = map_state.as_ba_problem(self.map, self.intr)
+        cam_fixed = np.zeros(cfg.max_keyframes, bool)
+        for s in fixed_slots:
+            cam_fixed[s] = True
+        prob = prob._replace(cam_fixed=jnp.array(cam_fixed))
+        params = ba.BAParams(
+            iters=cfg.ba_iters,
+            huber=cfg.ba_huber_px / cfg.fx,
+            trunc=cfg.ba_trunc_px / cfg.fx,
+            num_fixed=0,
+        )
+        out, info = ba.solve(prob, params)
+        self.map = map_state.update_from_ba(self.map, out.R, out.t, out.points)
+        return info
+
+    def _track_landmarks(self, pyr):
+        """Direct tracking + map alignment + pose-only refinement.
+
+        Returns (ok_align (L,), refined_uv (L, 2), n_tracked).
+        """
+        cfg = self.cfg
+        m = self.map
+        R0, t0 = self._motion_prediction()
+        # 1) Direct photometric alignment against the previous frame.
+        R_d, t_d, cost = direct.estimate_pose(
+            self.last_pyr, pyr, self.R, self.t,
+            m.points, m.point_mask, self.intr, R0, t0,
+        )
+        # 2) Predict landmark positions and LK-refine against their
+        #    best-viewing keyframes.
+        p_cam = se3.transform(R_d, t_d, m.points)
+        uv_pred, depth = cam_mod.project(p_cam, self.intr)
+        visible = (
+            m.point_mask
+            & (depth > 0.1)
+            & cam_mod.is_inside(uv_pred, cfg.height, cfg.width, border=8)
+        )
+        k_idx, cos = align.select_reference_keyframes(
+            m.points, m.kf_R, m.kf_t, m.kf_mask, m.obs_mask
+        )
+        has_obs = m.obs_mask[k_idx, jnp.arange(m.points.shape[0])]
+        uv_ref = m.obs_uv[k_idx, jnp.arange(m.points.shape[0])]
+        refined, err, ok_align = align.align(
+            m.kf_pyr, k_idx, uv_ref, pyr, uv_pred, visible & has_obs
+        )
+        # 3) Pose-only robust GN on the refined correspondences.
+        x_ref = cam_mod.normalize(refined, self.intr)
+        R_f, t_f = pnp.refine_pose(
+            R_d, t_d, m.points, x_ref,
+            ok_align.astype(jnp.float32),
+            huber=cfg.ransac_threshold_px / cfg.fx,
+            iters=8,
+        )
+        n_tracked = int(jnp.sum(ok_align))
+        if n_tracked >= cfg.min_tracked_points:
+            self.prev_R, self.prev_t = self.R, self.t
+            self.R, self.t = R_f, t_f
+        else:
+            # Fall back to the direct estimate (or PnP from predictions).
+            self.prev_R, self.prev_t = self.R, self.t
+            self.R, self.t = R_d, t_d
+        return ok_align, refined, n_tracked
+
+    def _should_insert_keyframe(self, n_tracked):
+        cfg = self.cfg
+        gap = self.frame_idx - self.last_kf_frame
+        if gap < cfg.kf_min_gap:
+            return False
+        if gap >= cfg.kf_max_gap:
+            return True
+        n_landmarks = int(self.map.num_points)
+        if n_landmarks == 0:
+            return True
+        return n_tracked < cfg.kf_min_visible_frac * min(
+            n_landmarks, self.cfg.num_features
+        )
+
+    def trajectory(self):
+        R = np.stack([r.R for r in self.results])
+        t = np.stack([r.t for r in self.results])
+        return R, t
+
+    def _record(self, **kw):
+        self.results.append(
+            FrameResult(R=np.asarray(self.R), t=np.asarray(self.t), **kw)
+        )
+
+
+class StereoVO(BaseVO):
+    """Stereo visual odometry: disparity triangulation + PnP tracking +
+    sliding-window BA (BASELINE.json config 2/3)."""
+
+    def __init__(self, config: VOConfig):
+        super().__init__(config)
+        self.state = "init"
+
+    def process(self, img_left, img_right) -> FrameResult:
+        cfg = self.cfg
+        self.frame_idx += 1
+        img_left = jnp.asarray(img_left, jnp.float32)
+        img_right = jnp.asarray(img_right, jnp.float32)
+        pyr = pyramid.build_pyramid(img_left, cfg.pyramid_levels)
+
+        if self.state == "init":
+            self._insert_stereo_keyframe(pyr, img_left, img_right)
+            self.state = "tracking"
+            self.last_pyr = pyr
+            self.last_kf_frame = self.frame_idx
+            self._record(
+                num_tracked=0,
+                num_landmarks=int(self.map.num_points),
+                is_keyframe=True,
+                state="init",
+            )
+            return self.results[-1]
+
+        ok_align, refined, n_tracked = self._track_landmarks(pyr)
+
+        is_kf = self._should_insert_keyframe(n_tracked)
+        if is_kf:
+            # Record refined observations of tracked landmarks, then add
+            # fresh stereo landmarks and run window BA.
+            slot = self._insert_stereo_keyframe(
+                pyr, img_left, img_right, existing_obs=(ok_align, refined)
+            )
+            self.last_kf_frame = self.frame_idx
+            if cfg.run_ba and len(self.kf_order) >= 2:
+                fixed = self.kf_order[:1]
+                self._run_window_ba(fixed)
+                # Tracking pose follows the (possibly shifted) newest KF.
+                self.R = self.map.kf_R[slot]
+                self.t = self.map.kf_t[slot]
+
+        self.last_pyr = pyr
+        self._record(
+            num_tracked=n_tracked,
+            num_landmarks=int(self.map.num_points),
+            is_keyframe=is_kf,
+            state=self.state,
+        )
+        return self.results[-1]
+
+    def _insert_stereo_keyframe(
+        self, pyr, img_left, img_right, existing_obs=None
+    ) -> int:
+        cfg = self.cfg
+        slot = self._next_kf_slot()
+        self.map = map_state.insert_keyframe(
+            self.map, slot, self.R, self.t, self.frame_idx, pyr
+        )
+        self.kf_order.append(slot)
+        if existing_obs is not None:
+            ok_align, refined = existing_obs
+            self.map = map_state.set_observations(
+                self.map, slot, jnp.arange(cfg.max_landmarks), refined, ok_align
+            )
+        # Detect fresh features, avoid duplicating tracked landmarks.
+        uv, score, det_mask = self._detect(pyr)
+        n_tracked = 0
+        if existing_obs is not None:
+            ok_align, refined = existing_obs
+            det_mask = det_mask & ~_near_existing(
+                uv, refined, ok_align, radius=8.0
+            )
+            n_tracked = int(jnp.sum(ok_align))
+        disp, cost, ok_d = stereo.match(
+            img_left, img_right, uv, det_mask,
+            stereo.StereoParams(max_disparity=cfg.max_disparity),
+        )
+        depth = stereo.disparity_to_depth(
+            disp, cfg.fx, cfg.baseline, ok_d
+        )
+        good = (
+            ok_d
+            & (depth > cfg.min_stereo_depth)
+            & (depth < cfg.max_stereo_depth)
+        )
+        # Bound map growth: only top-up to the visible-landmark target.
+        budget = max(0, cfg.num_features - n_tracked)
+        good = _top_m_by_score(good, score, budget)
+        p_cam = cam_mod.backproject(uv, depth, self.intr)
+        R_inv, t_inv = se3.inverse(self.R, self.t)
+        p_world = se3.transform(R_inv, t_inv, p_cam)
+        self.map, slots, ok_alloc = map_state.allocate_landmarks(
+            self.map, p_world, good
+        )
+        self.map = map_state.set_observations(self.map, slot, slots, uv, ok_alloc)
+        return slot
+
+
+class MonocularVO(BaseVO):
+    """Monocular VO: LK bootstrap + two-view init + direct/aligned tracking
+    (BASELINE.json config 1; the reference pipeline end-to-end)."""
+
+    def __init__(self, config: VOConfig):
+        super().__init__(config)
+        self.state = "init"
+        self.init_ref = None   # (pyr, kps, mask, frame_idx)
+        self.pending_kps = None
+
+    def process(self, img) -> FrameResult:
+        cfg = self.cfg
+        self.frame_idx += 1
+        img = jnp.asarray(img, jnp.float32)
+        pyr = pyramid.build_pyramid(img, cfg.pyramid_levels)
+
+        if self.state == "init":
+            self._try_initialize(pyr)
+        else:
+            ok_align, refined, n_tracked = self._track_landmarks(pyr)
+            is_kf = self._should_insert_keyframe(n_tracked)
+            if is_kf:
+                self._insert_mono_keyframe(pyr, (ok_align, refined))
+                self.last_kf_frame = self.frame_idx
+                if cfg.run_ba and len(self.kf_order) >= 2:
+                    self._run_window_ba(self.kf_order[:2])
+                    slot = self.kf_order[-1]
+                    self.R = self.map.kf_R[slot]
+                    self.t = self.map.kf_t[slot]
+            self.last_pyr = pyr
+            self._record(
+                num_tracked=n_tracked,
+                num_landmarks=int(self.map.num_points),
+                is_keyframe=is_kf,
+                state=self.state,
+            )
+            return self.results[-1]
+
+        self.last_pyr = pyr
+        self._record(
+            num_tracked=0,
+            num_landmarks=int(self.map.num_points),
+            is_keyframe=self.state == "tracking",
+            state="init",
+        )
+        return self.results[-1]
+
+    # -- initialization (reference viso.cpp:13-111) --------------------
+    def _try_initialize(self, pyr):
+        cfg = self.cfg
+        reseed = (
+            self.init_ref is None
+            or (self.frame_idx - self.init_ref[3]) >= cfg.reinitialize_after
+        )
+        if reseed:
+            uv, score, mask = self._detect(pyr)
+            self.init_ref = (pyr, uv, mask, self.frame_idx)
+            return
+
+        ref_pyr, ref_kps, ref_mask, ref_idx = self.init_ref
+        kp2, err, ok = lk.track(ref_pyr, pyr, ref_kps, ref_mask)
+        n_tracks = int(jnp.sum(ok))
+        if n_tracks < cfg.min_init_tracks:
+            return
+        x1 = cam_mod.normalize(ref_kps, self.intr)
+        x2 = cam_mod.normalize(kp2, self.intr)
+        params = twoview.TwoViewParams(
+            focal=cfg.fx,
+            projection_error_thresh=cfg.init_projection_error_px,
+            parallax_thresh_deg=cfg.init_parallax_deg,
+            disparity_squared_thresh=cfg.disparity_squared_thresh,
+        )
+        res = twoview.initialize(self._next_key(), x1, x2, ok, params)
+        if not bool(res.disparity_ok):
+            return
+        n_inl = int(res.num_inliers)
+        if n_inl < cfg.min_init_tracks or n_inl < cfg.min_init_inlier_ratio * n_tracks:
+            return
+        # Accept: promote both frames to keyframes (viso.cpp:79-98).
+        slot0 = self._next_kf_slot()
+        self.map = map_state.insert_keyframe(
+            self.map, slot0, jnp.eye(3), jnp.zeros(3), ref_idx, ref_pyr
+        )
+        self.kf_order.append(slot0)
+        slot1 = self._next_kf_slot()
+        self.map = map_state.insert_keyframe(
+            self.map, slot1, res.R, res.t, self.frame_idx, pyr
+        )
+        self.kf_order.append(slot1)
+        self.map, slots, ok_alloc = map_state.allocate_landmarks(
+            self.map, res.points, res.inliers
+        )
+        self.map = map_state.set_observations(self.map, slot0, slots, ref_kps, ok_alloc)
+        self.map = map_state.set_observations(self.map, slot1, slots, kp2, ok_alloc)
+        self.R, self.t = res.R, res.t
+        self.prev_R, self.prev_t = jnp.eye(3), jnp.zeros(3)
+        self.last_kf_frame = self.frame_idx
+        self.state = "tracking"
+        # Keep the tracked keypoints as triangulation candidates.
+        self.pending_kps = None
+
+    # -- keyframe insertion with new-landmark triangulation ------------
+    def _insert_mono_keyframe(self, pyr, existing_obs):
+        cfg = self.cfg
+        ok_align, refined = existing_obs
+        prev_slot = self.kf_order[-1]
+        prev_pyr_stack = self.map.kf_pyr
+        prev_R = self.map.kf_R[prev_slot]
+        prev_t = self.map.kf_t[prev_slot]
+        prev_pyr = tuple(lvl[prev_slot] for lvl in prev_pyr_stack)
+
+        slot = self._next_kf_slot()
+        self.map = map_state.insert_keyframe(
+            self.map, slot, self.R, self.t, self.frame_idx, pyr
+        )
+        self.kf_order.append(slot)
+        self.map = map_state.set_observations(
+            self.map, slot, jnp.arange(cfg.max_landmarks), refined, ok_align
+        )
+        # New landmarks: detect in the previous keyframe image, LK-track to
+        # the current frame, triangulate with the two keyframe poses.
+        uv_prev, score_prev, det_mask = self._detect(prev_pyr)
+        det_mask = det_mask & ~_near_existing(
+            uv_prev,
+            self.map.obs_uv[prev_slot],
+            self.map.obs_mask[prev_slot],
+            radius=8.0,
+        )
+        uv_cur, err, ok_trk = lk.track(prev_pyr, pyr, uv_prev, det_mask)
+        x1 = cam_mod.normalize(uv_prev, self.intr)
+        x2 = cam_mod.normalize(uv_cur, self.intr)
+        from viso_tpu.geometry import triangulation as tri
+
+        pts, d1, d2 = tri.triangulate(x1, x2, prev_R, prev_t, self.R, self.t)
+
+        e1 = tri.reprojection_error(pts, x1, prev_R, prev_t)
+        e2 = tri.reprojection_error(pts, x2, self.R, self.t)
+        good = (
+            ok_trk
+            & (d1 > 0.05)
+            & (d2 > 0.05)
+            & (e1 * cfg.fx < cfg.ransac_threshold_px)
+            & (e2 * cfg.fx < cfg.ransac_threshold_px)
+        )
+        self.map, slots, ok_alloc = map_state.allocate_landmarks(
+            self.map, pts, good
+        )
+        self.map = map_state.set_observations(
+            self.map, prev_slot, slots, uv_prev, ok_alloc
+        )
+        self.map = map_state.set_observations(self.map, slot, slots, uv_cur, ok_alloc)
+
+
+def _top_m_by_score(good, score, m):
+    """Keep at most `m` True entries of `good`, highest `score` first."""
+    s = jnp.where(good, score, -jnp.inf)
+    rank = jnp.argsort(jnp.argsort(-s))
+    return good & (rank < m)
+
+
+@jax.jit
+def _near_existing(uv, existing_uv, existing_mask, radius=8.0):
+    """Mask of `uv` entries within `radius` px of any valid existing point."""
+    d = jnp.linalg.norm(uv[:, None, :] - existing_uv[None, :, :], axis=-1)
+    d = jnp.where(existing_mask[None, :], d, jnp.inf)
+    return jnp.min(d, axis=-1) < radius
