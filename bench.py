@@ -1,0 +1,80 @@
+"""Benchmark: stereo VO frames/s per chip on a synthetic KITTI-geometry
+sequence. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the north-star target of 10 FPS real-time stereo VO per chip
+(BASELINE.md; the reference publishes no numbers). vs_baseline = fps / 10.
+
+Runs on whatever jax.devices() provides (the real TPU chip under the
+driver). Rendering happens host-side up front; timing covers the full
+per-frame engine path (pyramid, tracking, alignment, keyframes, BA).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from viso_tpu.data import synthetic
+    from viso_tpu.slam.engine import StereoVO, VOConfig
+
+    H, W = 376, 1240
+    n_frames = 30
+    warmup = 6
+
+    cfg = VOConfig(
+        height=H,
+        width=W,
+        fx=718.856,
+        fy=718.856,
+        cx=607.1928,
+        cy=185.2157,
+        baseline=0.537,
+        num_features=512,
+        max_landmarks=2048,
+        detect_grid=(6, 12),
+        fast_threshold=20.0,
+        max_disparity=128,
+    )
+    intr = cfg.intrinsics()
+
+    rng = np.random.default_rng(42)
+    scene = synthetic.corridor_scene(rng, tex_size=1024)
+    # KITTI-like forward motion at ~1 m/frame.
+    Rs, ts = synthetic.forward_trajectory(n_frames, step=0.8, yaw_rate=0.003)
+    frames = []
+    for R, t in zip(Rs, ts):
+        il, ir, _ = synthetic.make_stereo_pair(
+            scene, intr, R, t, H, W, baseline=cfg.baseline
+        )
+        frames.append((il, ir))
+
+    vo = StereoVO(cfg)
+    # Warmup: trigger every compile path (tracking + keyframe + BA).
+    for il, ir in frames[:warmup]:
+        vo.process(il, ir)
+
+    t0 = time.perf_counter()
+    for il, ir in frames[warmup:]:
+        vo.process(il, ir)
+    elapsed = time.perf_counter() - t0
+    fps = (n_frames - warmup) / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "stereo_vo_fps_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 10.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
