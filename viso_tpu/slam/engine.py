@@ -122,6 +122,7 @@ class BaseVO:
         self.last_kf_frame = -(10**9)
         self.kf_order: list[int] = []   # slots, oldest first
         self.results: list[FrameResult] = []
+        self._kernels: dict = {}
 
     # -- helpers -------------------------------------------------------
     def _next_key(self):
@@ -155,70 +156,95 @@ class BaseVO:
         )
         return uv, score, mask
 
+    # -- jitted per-frame super-kernels ---------------------------------
+    # The whole tracking step (direct + alignment + pose refinement) and
+    # the whole keyframe insertion are each ONE jit call: eager per-op
+    # dispatch dominates frame time on a remote-attached TPU, so the
+    # per-frame host<->device surface is kept to one launch + a few
+    # scalar readbacks.
+
+    def _build_track_kernel(self):
+        cfg = self.cfg
+        intr = self.intr
+
+        @jax.jit
+        def track(m: map_state.MapState, last_pyr, pyr, R, t, prev_R, prev_t):
+            dR, dt = se3.relative(R, t, prev_R, prev_t)
+            R0, t0 = se3.compose(dR, dt, R, t)  # constant-velocity warm start
+            R_d, t_d, cost = direct.estimate_pose(
+                last_pyr, pyr, R, t, m.points, m.point_mask, intr, R0, t0
+            )
+            p_cam = se3.transform(R_d, t_d, m.points)
+            uv_pred, depth = cam_mod.project(p_cam, intr)
+            visible = (
+                m.point_mask
+                & (depth > 0.1)
+                & cam_mod.is_inside(uv_pred, cfg.height, cfg.width, border=8)
+            )
+            k_idx, cos = align.select_reference_keyframes(
+                m.points, m.kf_R, m.kf_t, m.kf_mask, m.obs_mask
+            )
+            L = m.points.shape[0]
+            has_obs = m.obs_mask[k_idx, jnp.arange(L)]
+            uv_ref = m.obs_uv[k_idx, jnp.arange(L)]
+            refined, err, ok_align = align.align(
+                m.kf_pyr, k_idx, uv_ref, pyr, uv_pred, visible & has_obs
+            )
+            x_ref = cam_mod.normalize(refined, intr)
+            R_f, t_f = pnp.refine_pose(
+                R_d, t_d, m.points, x_ref,
+                ok_align.astype(jnp.float32),
+                huber=cfg.ransac_threshold_px / cfg.fx,
+                iters=8,
+            )
+            n_tracked = jnp.sum(ok_align)
+            use_refined = n_tracked >= cfg.min_tracked_points
+            R_new = jnp.where(use_refined, R_f, R_d)
+            t_new = jnp.where(use_refined, t_f, t_d)
+            return R_new, t_new, ok_align, refined, n_tracked, m.num_points
+
+        return track
+
     def _run_window_ba(self, fixed_slots):
         cfg = self.cfg
-        prob = map_state.as_ba_problem(self.map, self.intr)
         cam_fixed = np.zeros(cfg.max_keyframes, bool)
         for s in fixed_slots:
             cam_fixed[s] = True
-        prob = prob._replace(cam_fixed=jnp.array(cam_fixed))
-        params = ba.BAParams(
-            iters=cfg.ba_iters,
-            huber=cfg.ba_huber_px / cfg.fx,
-            trunc=cfg.ba_trunc_px / cfg.fx,
-            num_fixed=0,
-        )
-        out, info = ba.solve(prob, params)
-        self.map = map_state.update_from_ba(self.map, out.R, out.t, out.points)
-        return info
+        if "ba" not in self._kernels:
+            params = ba.BAParams(
+                iters=cfg.ba_iters,
+                huber=cfg.ba_huber_px / cfg.fx,
+                trunc=cfg.ba_trunc_px / cfg.fx,
+                num_fixed=0,
+            )
+            intr = self.intr
+
+            @jax.jit
+            def run_ba(m: map_state.MapState, cam_fixed):
+                prob = map_state.as_ba_problem(m, intr)
+                prob = prob._replace(cam_fixed=cam_fixed)
+                out, info = ba.solve_impl(prob, params)
+                m = map_state.update_from_ba(m, out.R, out.t, out.points)
+                return m, info["final_cost"]
+
+            self._kernels["ba"] = run_ba
+        self.map, final_cost = self._kernels["ba"](self.map, jnp.asarray(cam_fixed))
+        return final_cost
 
     def _track_landmarks(self, pyr):
-        """Direct tracking + map alignment + pose-only refinement.
+        """One jitted call: direct tracking + map alignment + pose refine.
 
-        Returns (ok_align (L,), refined_uv (L, 2), n_tracked).
+        Returns (ok_align (L,), refined_uv (L, 2), n_tracked int).
         """
-        cfg = self.cfg
-        m = self.map
-        R0, t0 = self._motion_prediction()
-        # 1) Direct photometric alignment against the previous frame.
-        R_d, t_d, cost = direct.estimate_pose(
-            self.last_pyr, pyr, self.R, self.t,
-            m.points, m.point_mask, self.intr, R0, t0,
-        )
-        # 2) Predict landmark positions and LK-refine against their
-        #    best-viewing keyframes.
-        p_cam = se3.transform(R_d, t_d, m.points)
-        uv_pred, depth = cam_mod.project(p_cam, self.intr)
-        visible = (
-            m.point_mask
-            & (depth > 0.1)
-            & cam_mod.is_inside(uv_pred, cfg.height, cfg.width, border=8)
-        )
-        k_idx, cos = align.select_reference_keyframes(
-            m.points, m.kf_R, m.kf_t, m.kf_mask, m.obs_mask
-        )
-        has_obs = m.obs_mask[k_idx, jnp.arange(m.points.shape[0])]
-        uv_ref = m.obs_uv[k_idx, jnp.arange(m.points.shape[0])]
-        refined, err, ok_align = align.align(
-            m.kf_pyr, k_idx, uv_ref, pyr, uv_pred, visible & has_obs
-        )
-        # 3) Pose-only robust GN on the refined correspondences.
-        x_ref = cam_mod.normalize(refined, self.intr)
-        R_f, t_f = pnp.refine_pose(
-            R_d, t_d, m.points, x_ref,
-            ok_align.astype(jnp.float32),
-            huber=cfg.ransac_threshold_px / cfg.fx,
-            iters=8,
-        )
-        n_tracked = int(jnp.sum(ok_align))
-        if n_tracked >= cfg.min_tracked_points:
-            self.prev_R, self.prev_t = self.R, self.t
-            self.R, self.t = R_f, t_f
-        else:
-            # Fall back to the direct estimate (or PnP from predictions).
-            self.prev_R, self.prev_t = self.R, self.t
-            self.R, self.t = R_d, t_d
-        return ok_align, refined, n_tracked
+        if "track" not in self._kernels:
+            self._kernels["track"] = self._build_track_kernel()
+        R_new, t_new, ok_align, refined, n_tracked, n_points = self._kernels[
+            "track"
+        ](self.map, self.last_pyr, pyr, self.R, self.t, self.prev_R, self.prev_t)
+        self.prev_R, self.prev_t = self.R, self.t
+        self.R, self.t = R_new, t_new
+        self._n_points_cache = int(n_points)
+        return ok_align, refined, int(n_tracked)
 
     def _should_insert_keyframe(self, n_tracked):
         cfg = self.cfg
@@ -227,7 +253,9 @@ class BaseVO:
             return False
         if gap >= cfg.kf_max_gap:
             return True
-        n_landmarks = int(self.map.num_points)
+        n_landmarks = getattr(self, "_n_points_cache", None)
+        if n_landmarks is None:
+            n_landmarks = int(self.map.num_points)
         if n_landmarks == 0:
             return True
         return n_tracked < cfg.kf_min_visible_frac * min(
@@ -265,9 +293,10 @@ class StereoVO(BaseVO):
             self.state = "tracking"
             self.last_pyr = pyr
             self.last_kf_frame = self.frame_idx
+            self._n_points_cache = int(self.map.num_points)
             self._record(
                 num_tracked=0,
-                num_landmarks=int(self.map.num_points),
+                num_landmarks=self._n_points_cache,
                 is_keyframe=True,
                 state="init",
             )
@@ -289,62 +318,118 @@ class StereoVO(BaseVO):
                 # Tracking pose follows the (possibly shifted) newest KF.
                 self.R = self.map.kf_R[slot]
                 self.t = self.map.kf_t[slot]
+            self._n_points_cache = int(self.map.num_points)
 
         self.last_pyr = pyr
         self._record(
             num_tracked=n_tracked,
-            num_landmarks=int(self.map.num_points),
+            num_landmarks=getattr(self, "_n_points_cache", 0),
             is_keyframe=is_kf,
             state=self.state,
         )
         return self.results[-1]
 
+    def _build_stereo_kf_kernel(self):
+        cfg = self.cfg
+        intr = self.intr
+        sparams = stereo.StereoParams(max_disparity=cfg.max_disparity)
+        per_cell = max(
+            1, cfg.num_features // (cfg.detect_grid[0] * cfg.detect_grid[1])
+        )
+
+        @jax.jit
+        def insert(
+            m: map_state.MapState,
+            slot,
+            do_evict,
+            R,
+            t,
+            frame_id,
+            pyr,
+            img_left,
+            img_right,
+            ok_align,
+            refined,
+            have_existing,
+        ):
+            # Conditional eviction of the slot being recycled.
+            m_ev = map_state.evict_keyframe(m, slot)
+            m = jax.tree.map(
+                lambda a, b: jnp.where(do_evict, a, b), m_ev, m
+            )
+            m = map_state.insert_keyframe(m, slot, R, t, frame_id, pyr)
+            existing = ok_align & have_existing
+            m = map_state.set_observations(
+                m, slot, jnp.arange(m.points.shape[0]), refined, existing
+            )
+            uv, score, det_mask = fast.detect_grid(
+                pyr[0], threshold=cfg.fast_threshold, grid=cfg.detect_grid,
+                per_cell=per_cell,
+            )
+            det_mask = det_mask & ~_near_existing(uv, refined, existing, 8.0)
+            disp, cost, ok_d = stereo.match(
+                img_left, img_right, uv, det_mask, sparams
+            )
+            depth = stereo.disparity_to_depth(disp, cfg.fx, cfg.baseline, ok_d)
+            good = (
+                ok_d
+                & (depth > cfg.min_stereo_depth)
+                & (depth < cfg.max_stereo_depth)
+            )
+            budget = jnp.maximum(0, cfg.num_features - jnp.sum(existing))
+            good = _top_m_by_score(good, score, budget)
+            p_cam = cam_mod.backproject(uv, depth, intr)
+            R_inv, t_inv = se3.inverse(R, t)
+            p_world = se3.transform(R_inv, t_inv, p_cam)
+            m, slots, ok_alloc = map_state.allocate_landmarks(m, p_world, good)
+            m = map_state.set_observations(m, slot, slots, uv, ok_alloc)
+            return m
+
+        return insert
+
     def _insert_stereo_keyframe(
         self, pyr, img_left, img_right, existing_obs=None
     ) -> int:
         cfg = self.cfg
-        slot = self._next_kf_slot()
-        self.map = map_state.insert_keyframe(
-            self.map, slot, self.R, self.t, self.frame_idx, pyr
-        )
+        evict = len(self.kf_order) >= cfg.max_keyframes
+        slot = self._next_kf_slot_peek()
         self.kf_order.append(slot)
         if existing_obs is not None:
             ok_align, refined = existing_obs
-            self.map = map_state.set_observations(
-                self.map, slot, jnp.arange(cfg.max_landmarks), refined, ok_align
-            )
-        # Detect fresh features, avoid duplicating tracked landmarks.
-        uv, score, det_mask = self._detect(pyr)
-        n_tracked = 0
-        if existing_obs is not None:
-            ok_align, refined = existing_obs
-            det_mask = det_mask & ~_near_existing(
-                uv, refined, ok_align, radius=8.0
-            )
-            n_tracked = int(jnp.sum(ok_align))
-        disp, cost, ok_d = stereo.match(
-            img_left, img_right, uv, det_mask,
-            stereo.StereoParams(max_disparity=cfg.max_disparity),
+            have = jnp.asarray(True)
+        else:
+            ok_align = jnp.zeros(cfg.max_landmarks, bool)
+            refined = jnp.zeros((cfg.max_landmarks, 2), jnp.float32)
+            have = jnp.asarray(False)
+        if "stereo_kf" not in self._kernels:
+            self._kernels["stereo_kf"] = self._build_stereo_kf_kernel()
+        self.map = self._kernels["stereo_kf"](
+            self.map,
+            slot,
+            jnp.asarray(evict),
+            self.R,
+            self.t,
+            self.frame_idx,
+            pyr,
+            img_left,
+            img_right,
+            ok_align,
+            refined,
+            have,
         )
-        depth = stereo.disparity_to_depth(
-            disp, cfg.fx, cfg.baseline, ok_d
-        )
-        good = (
-            ok_d
-            & (depth > cfg.min_stereo_depth)
-            & (depth < cfg.max_stereo_depth)
-        )
-        # Bound map growth: only top-up to the visible-landmark target.
-        budget = max(0, cfg.num_features - n_tracked)
-        good = _top_m_by_score(good, score, budget)
-        p_cam = cam_mod.backproject(uv, depth, self.intr)
-        R_inv, t_inv = se3.inverse(self.R, self.t)
-        p_world = se3.transform(R_inv, t_inv, p_cam)
-        self.map, slots, ok_alloc = map_state.allocate_landmarks(
-            self.map, p_world, good
-        )
-        self.map = map_state.set_observations(self.map, slot, slots, uv, ok_alloc)
         return slot
+
+    def _next_kf_slot_peek(self) -> int:
+        """Pick the slot for the next keyframe; pops the oldest from
+        kf_order if the window is full (eviction itself happens inside
+        the insertion kernel)."""
+        cfg = self.cfg
+        if len(self.kf_order) < cfg.max_keyframes:
+            used = set(self.kf_order)
+            for s in range(cfg.max_keyframes):
+                if s not in used:
+                    return s
+        return self.kf_order.pop(0)
 
 
 class MonocularVO(BaseVO):
