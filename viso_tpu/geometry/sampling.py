@@ -51,6 +51,74 @@ def bilinear(img, uv):
     )
 
 
+def bilinear_with_grad(img, uv):
+    """Bilinear value AND exact surface gradient from the SAME 4 gathers.
+
+    Returns (value (...,), grad (..., 2)). The derivative of the bilinear
+    interpolant is
+        dI/du = (1-fy)(v01 - v00) + fy(v11 - v10)
+        dI/dv = (1-fx)(v10 - v00) + fx(v11 - v01)
+    Central differences (the reference's estimator, common.h:44-59) cost
+    4 extra bilinear evaluations = 16 extra gathers per sample; gathers
+    are the TPU front-end's bottleneck, so this 4-gather fused form is
+    the one hot paths must use.
+    """
+    u = uv[..., 0]
+    v = uv[..., 1]
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = u - x0
+    fy = v - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    v00 = _gather(img, y0i, x0i)
+    v01 = _gather(img, y0i, x0i + 1)
+    v10 = _gather(img, y0i + 1, x0i)
+    v11 = _gather(img, y0i + 1, x0i + 1)
+    val = (
+        (1 - fx) * (1 - fy) * v00
+        + fx * (1 - fy) * v01
+        + (1 - fx) * fy * v10
+        + fx * fy * v11
+    )
+    gx = (1 - fy) * (v01 - v00) + fy * (v11 - v10)
+    gy = (1 - fx) * (v10 - v00) + fx * (v11 - v01)
+    return val, jnp.stack([gx, gy], axis=-1)
+
+
+def bilinear_indexed_with_grad(imgs, k, uv):
+    """`bilinear_with_grad` over a stacked image set with per-item index.
+
+    imgs: (K, H, W); k: (N,); uv: (N, ..., 2). Returns (val, grad).
+    """
+    K, H, W = imgs.shape
+    flat = imgs.reshape(K * H * W)
+    u = uv[..., 0]
+    v = uv[..., 1]
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = u - x0
+    fy = v - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    extra = uv.ndim - 2
+    k_b = k.reshape((k.shape[0],) + (1,) * extra)
+    i00 = k_b * (H * W) + y0i * W + x0i
+    v00 = jnp.take(flat, i00)
+    v01 = jnp.take(flat, i00 + 1)
+    v10 = jnp.take(flat, i00 + W)
+    v11 = jnp.take(flat, i00 + W + 1)
+    val = (
+        (1 - fx) * (1 - fy) * v00
+        + fx * (1 - fy) * v01
+        + (1 - fx) * fy * v10
+        + fx * fy * v11
+    )
+    gx = (1 - fy) * (v01 - v00) + fy * (v11 - v10)
+    gy = (1 - fx) * (v10 - v00) + fx * (v11 - v01)
+    return val, jnp.stack([gx, gy], axis=-1)
+
+
 def gradient(img, uv, delta: float = 1.0):
     """Central-difference image gradient at uv (..., 2) -> (..., 2) [gx, gy].
 

@@ -41,9 +41,16 @@ def vee(W):
 
 
 def _taylor_coeffs(theta_sq):
-    """(A, B, C) = (sin t/t, (1-cos t)/t^2, (t - sin t)/t^3), Taylor-safe at 0."""
+    """(A, B, C) = (sin t/t, (1-cos t)/t^2, (t - sin t)/t^3), Taylor-safe.
+
+    The Taylor branch engages below theta ~ 1e-2: in float32, 1-cos(t)
+    underflows to 0 for t < ~5e-4 and t-sin(t) is pure cancellation noise
+    well beyond that, so a switch near machine epsilon (the f64 habit) is
+    catastrophically late here. At t = 1e-2 the two-term Taylor error is
+    ~1e-10 — far below f32 trig roundoff.
+    """
     theta = jnp.sqrt(theta_sq + _EPS)
-    small = theta_sq < 1e-8
+    small = theta_sq < 1e-4
     A = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / (theta_sq + _EPS))
     C = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0, (theta - jnp.sin(theta)) / (theta_sq * theta + _EPS))
@@ -73,7 +80,7 @@ def so3_log(R):
     # Generic branch: theta / (2 sin theta) * (R - R^T)^vee
     sin_theta = jnp.sin(theta)
     generic_scale = jnp.where(
-        theta < 1e-4,
+        theta < 1e-2,
         0.5 + theta * theta / 12.0,  # Taylor of theta/(2 sin theta)
         theta / (2.0 * sin_theta + _EPS),
     )
@@ -121,8 +128,10 @@ def se3_log(R, t):
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), W.shape)
     # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2
+    # Same f32 rationale as _taylor_coeffs: 1 - A/(2B) is catastrophic
+    # cancellation for small theta; switch to Taylor well before it.
     coef = jnp.where(
-        theta_sq < 1e-8,
+        theta_sq < 1e-4,
         1.0 / 12.0 + theta_sq / 720.0,
         (1.0 - A / (2.0 * B + _EPS)) / (theta_sq + _EPS),
     )

@@ -64,8 +64,8 @@ def _align_level(imgs_ref, k_idx, uv_ref, img_cur, flow0, params: AlignParams):
     half = params.half_patch
     offs = sampling.patch_offsets(half, dtype=uv_ref.dtype)
     uv_t = uv_ref[:, None, None, :] + offs[None]
-    T = sampling.bilinear_indexed(imgs_ref, k_idx, uv_t)
-    g = sampling.gradient_indexed(imgs_ref, k_idx, uv_t)
+    # Template value + exact bilinear-surface gradient from 4 gathers.
+    T, g = sampling.bilinear_indexed_with_grad(imgs_ref, k_idx, uv_t)
     H = jnp.einsum("npqi,npqj->nij", g, g)
 
     def body(_, state):

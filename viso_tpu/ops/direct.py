@@ -83,7 +83,16 @@ def _huber_weight(r, delta):
 
 def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
                 R0, t0, intr_l, params: DirectParams):
-    """One pyramid level of direct GN. Returns (R, t, cost)."""
+    """One pyramid level of direct GN. Returns (R, t, cost).
+
+    Inverse-compositional-style: the template patches, their gradients,
+    and the pixel Jacobian are all evaluated ONCE in the reference frame
+    and frozen (gradient equivalence at the optimum — the same trick the
+    reference uses for LK at viso.cpp:297-303, applied to SE3). Each GN
+    iteration then costs only ONE 4-gather bilinear sample of the current
+    image plus MXU einsums — gathers are the TPU bottleneck, so the
+    per-iteration gather count is the frame-rate lever.
+    """
     half = params.half_patch
     H_img, W_img = img_ref.shape
 
@@ -93,39 +102,43 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
     ref_ok = (d_ref > params.min_depth) & cam_mod.is_inside(
         uv_ref, H_img, W_img, border=half + 1
     ) & point_mask
-    T = sampling.sample_patches(img_ref, uv_ref, half)  # (N, P, P)
+    offs = sampling.patch_offsets(half, dtype=uv_ref.dtype)
+    uv_patch_ref = uv_ref[:, None, None, :] + offs[None]
+    T, gT = sampling.bilinear_with_grad(img_ref, uv_patch_ref)  # (N,P,P),(N,P,P,2)
+    Jpix = pixel_jacobian(p_ref, intr_l)                        # (N, 2, 6)
+    J = jnp.einsum("npqi,nij->npqj", gT, Jpix)                  # (N, P, P, 6)
 
     n_points = points_w.shape[0]
     patch_px = (2 * half) ** 2
+    Jf = J.reshape(n_points * patch_px, 6)
 
-    def compute_H_b(R, t):
+    def compute_b(R, t):
         p_cur = se3.transform(R, t, points_w)
         uv_cur, d_cur = cam_mod.project(p_cur, intr_l)
         cur_ok = (d_cur > params.min_depth) & cam_mod.is_inside(
             uv_cur, H_img, W_img, border=half + 1
         )
         ok = (ref_ok & cur_ok).astype(img_ref.dtype)  # (N,)
-        offs = sampling.patch_offsets(half, dtype=uv_cur.dtype)
         uv_patch = uv_cur[:, None, None, :] + offs[None]
-        I = sampling.bilinear(img_cur, uv_patch)            # (N, P, P)
-        g = sampling.gradient(img_cur, uv_patch)            # (N, P, P, 2)
+        I = sampling.bilinear(img_cur, uv_patch)            # 4 gathers
         r = I - T                                            # (N, P, P)
         w = _huber_weight(r, params.huber_delta) * ok[:, None, None]
-        Jpix = pixel_jacobian(p_cur, intr_l)                 # (N, 2, 6)
-        # J = grad . Jpix per pixel: (N, P, P, 6)
-        J = jnp.einsum("npqi,nij->npqj", g, Jpix)
-        Jf = J.reshape(n_points * patch_px, 6)
         rf = r.reshape(n_points * patch_px)
         wf = w.reshape(n_points * patch_px)
         Jw = Jf * wf[:, None]
         H = Jw.T @ Jf                                        # (6,6) on MXU
         b = -(Jw.T @ rf)                                     # (6,)
-        cost = jnp.sum(wf * rf * rf) / jnp.maximum(jnp.sum(wf), 1.0)
+        # A pose that pushes (almost) every point out of view must read
+        # as terrible, not perfect: an unguarded masked mean returns 0
+        # when no points are valid, which would win best-cost rollback.
+        n_valid = jnp.sum(ok)
+        mean = jnp.sum(wf * rf * rf) / jnp.maximum(jnp.sum(wf), 1.0)
+        cost = jnp.where(n_valid >= 10, mean, jnp.inf)
         return H, b, cost
 
     def body(_, state):
         R, t, best_R, best_t, best_cost = state
-        H, b, cost = compute_H_b(R, t)
+        H, b, cost = compute_b(R, t)
         improved = cost < best_cost
         best_R = jnp.where(improved, R, best_R)
         best_t = jnp.where(improved, t, best_t)
@@ -144,7 +157,7 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
         0, params.iters, body, init
     )
     # Let the final iterate compete too.
-    _, _, cost = compute_H_b(R, t)
+    _, _, cost = compute_b(R, t)
     improved = cost < best_cost
     best_R = jnp.where(improved, R, best_R)
     best_t = jnp.where(improved, t, best_t)

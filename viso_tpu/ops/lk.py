@@ -59,8 +59,8 @@ def _single_level(img_ref, img_cur, kp_ref, flow0, params: LKParams):
     half = params.half_patch
     offs = sampling.patch_offsets(half, dtype=kp_ref.dtype)  # (P, P, 2)
     uv_ref = kp_ref[:, None, None, :] + offs[None]
-    T = sampling.bilinear(img_ref, uv_ref)                   # template (N,P,P)
-    g = sampling.gradient(img_ref, uv_ref)                   # (N,P,P,2)
+    # Template value + exact bilinear-surface gradient from 4 gathers.
+    T, g = sampling.bilinear_with_grad(img_ref, uv_ref)
     # Template Hessian, hoisted out of the loop (inverse-compositional,
     # ref viso.cpp:297-303 computes J from the *reference* image too).
     H = jnp.einsum("npqi,npqj->nij", g, g)

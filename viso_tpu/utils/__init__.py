@@ -1,1 +1,3 @@
-"""viso_tpu.utils"""
+"""Utilities: metrics, checkpointing, logging, profiling."""
+
+from viso_tpu.utils import metrics, checkpoint, logging, profiling  # noqa: F401
