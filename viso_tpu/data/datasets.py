@@ -41,6 +41,16 @@ class Sequence:
 
 
 def _imread_gray(path):
+    # Prefer the native C++ decoder (no GIL, no OpenCV dependency);
+    # fall back to cv2 for formats it doesn't cover (JPEG etc.).
+    from viso_tpu.data import native
+
+    if native.available() and path.endswith((".png", ".pgm")):
+        img = native.decode_gray(path)
+        if img is not None:
+            return img
+        if not os.path.exists(path):
+            return None
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
