@@ -1,0 +1,85 @@
+"""Full stereo SLAM integration: loop closure + pose-graph correction."""
+
+import numpy as np
+import pytest
+
+from viso_tpu.data import synthetic
+from viso_tpu.slam.engine import VOConfig
+from viso_tpu.slam.full import StereoSLAM
+from viso_tpu.slam.loop_closure import LoopParams
+from viso_tpu.utils import metrics
+
+H, W = 160, 224
+INTR = dict(fx=180.0, fy=180.0, cx=W / 2 - 0.5, cy=H / 2 - 0.5)
+
+
+@pytest.fixture(scope="module")
+def room():
+    rng = np.random.default_rng(11)
+    return synthetic.room_scene(rng, tex_size=512, half=6.0)
+
+
+def test_slam_orbit_closes_loop(room):
+    from viso_tpu.geometry import camera
+
+    n = 72  # ~5 deg / frame — orbiting is rotation-dominant, keep it gentle
+    intr = camera.Intrinsics.create(**INTR)
+    Rs, ts = synthetic.orbit_trajectory(n, radius=2.0)
+    frames = []
+    for R, t in zip(Rs, ts):
+        il, ir, _ = synthetic.make_stereo_pair(
+            room, intr, R, t, H, W, baseline=0.25
+        )
+        frames.append((il, ir))
+
+    cfg = VOConfig(
+        height=H, width=W, baseline=0.25,
+        max_keyframes=6, max_landmarks=512, num_features=128,
+        detect_grid=(4, 4), fast_threshold=12.0, max_disparity=48,
+        kf_min_gap=1, kf_min_visible_frac=0.7, **INTR,
+    )
+    loop_params = LoopParams(
+        capacity=64, num_features=128, guard=8, min_matches=25, min_inliers=15
+    )
+    slam = StereoSLAM(cfg, loop_params)
+    for il, ir in frames:
+        slam.process(il, ir)
+
+    # The orbit revisits its start: a loop must have been detected.
+    assert len(slam.loops) >= 1, "no loop closure detected"
+    lp = slam.loops[-1]
+    assert lp["to"] <= 2  # closed against an early keyframe
+
+    # Pose-graph-corrected keyframe trajectory must beat raw odometry:
+    # integrate the sequential odometry edges alone as the baseline.
+    pg_R, pg_t, pg_frames = slam.graph_trajectory()
+    K = len(pg_R)
+    from viso_tpu.geometry import se3
+    import jax.numpy as jnp
+
+    odo_R = [np.asarray(pg_R[0]) * 0 + np.eye(3, dtype=np.float32)]
+    odo_t = [np.zeros(3, np.float32)]
+    seq = {(e[0], e[1]): (e[2], e[3]) for e in slam.pg_edges}
+    for k in range(1, K):
+        R_rel, t_rel = seq[(k - 1, k)]
+        R_k, t_k = se3.compose(
+            jnp.asarray(R_rel), jnp.asarray(t_rel),
+            jnp.asarray(odo_R[-1]), jnp.asarray(odo_t[-1]),
+        )
+        odo_R.append(np.asarray(R_k))
+        odo_t.append(np.asarray(t_k))
+
+    gt_R = Rs[pg_frames]
+    gt_t = ts[pg_frames]
+    c_gt = metrics.camera_centers(gt_R, gt_t)
+    ate_pg = metrics.ate_rmse(
+        metrics.camera_centers(pg_R, pg_t), c_gt, align=True, with_scale=False
+    )
+    ate_odo = metrics.ate_rmse(
+        metrics.camera_centers(np.stack(odo_R), np.stack(odo_t)),
+        c_gt, align=True, with_scale=False,
+    )
+    # Loop closure must reduce drift materially, and stay bounded
+    # (orbit circumference ~12.6 m).
+    assert ate_pg < 0.85 * ate_odo, (ate_pg, ate_odo)
+    assert ate_pg < 2.0, ate_pg

@@ -56,10 +56,12 @@ class StereoSLAM(StereoVO):
         self.pg_t.append(t_np.copy())
         self.pg_frame.append(self.frame_idx)
         if node_id > 0:
+            # Edge (i, j) carries T_ij := T_i o T_j^-1 — the convention
+            # backend/pose_graph.edge_residual expects.
             R_rel, t_rel = se3.relative(
-                jnp.asarray(R_np), jnp.asarray(t_np),
                 jnp.asarray(self.pg_R[node_id - 1]),
                 jnp.asarray(self.pg_t[node_id - 1]),
+                jnp.asarray(R_np), jnp.asarray(t_np),
             )
             self.pg_edges.append(
                 (node_id - 1, node_id, np.asarray(R_rel), np.asarray(t_rel), 1.0)
@@ -90,9 +92,14 @@ class StereoSLAM(StereoVO):
             R_np, t_np, self.intr,
         )
         if cand is not None:
+            # cand.R_rel is T_cur o T_cand^-1; the (cand -> cur) edge
+            # needs T_cand o T_cur^-1 — invert it.
+            R_e, t_e = map(
+                np.asarray,
+                se3.inverse(jnp.asarray(cand.R_rel), jnp.asarray(cand.t_rel)),
+            )
             self.pg_edges.append(
-                (cand.db_index, node_id, cand.R_rel, cand.t_rel,
-                 float(cand.inliers))
+                (cand.db_index, node_id, R_e, t_e, float(cand.inliers))
             )
             self.loops.append(
                 {"from": node_id, "to": cand.db_index,
