@@ -62,15 +62,22 @@ def _align_level(imgs_ref, k_idx, uv_ref, img_cur, flow0, params: AlignParams):
     flow0: (N, 2) current displacement of the target from uv_ref.
     """
     half = params.half_patch
+    win = min(4 * half + 8, imgs_ref.shape[1], imgs_ref.shape[2], *img_cur.shape)
     offs = sampling.patch_offsets(half, dtype=uv_ref.dtype)
     uv_t = uv_ref[:, None, None, :] + offs[None]
-    # Template value + exact bilinear-surface gradient from 4 gathers.
-    T, g = sampling.bilinear_indexed_with_grad(imgs_ref, k_idx, uv_t)
+    # Template value + gradient from one cached window per pair (indexed
+    # into the stacked keyframe set).
+    ref_win, ref_base = sampling.extract_windows_indexed(
+        imgs_ref, k_idx, uv_ref, win
+    )
+    T, g = sampling.sample_windows_with_grad(ref_win, ref_base, uv_t)
     H = jnp.einsum("npqi,npqj->nij", g, g)
+    # Current-image windows at the predicted positions (zero-gather loop).
+    cur_win, cur_base = sampling.extract_windows(img_cur, uv_ref + flow0, win)
 
     def body(_, state):
         flow, best_flow, best_cost = state
-        I = sampling.bilinear(img_cur, uv_t + flow[:, None, None, :])
+        I = sampling.sample_windows(cur_win, cur_base, uv_t + flow[:, None, None, :])
         r = I - T
         cost = jnp.mean(r * r, axis=(-1, -2))
         improved = cost < best_cost
@@ -90,7 +97,7 @@ def _align_level(imgs_ref, k_idx, uv_ref, img_cur, flow0, params: AlignParams):
 
     init = (flow0, flow0, jnp.full(uv_ref.shape[:1], jnp.inf, uv_ref.dtype))
     flow, best_flow, best_cost = jax.lax.fori_loop(0, params.iters, body, init)
-    I = sampling.bilinear(img_cur, uv_t + flow[:, None, None, :])
+    I = sampling.sample_windows(cur_win, cur_base, uv_t + flow[:, None, None, :])
     cost = jnp.mean((I - T) ** 2, axis=(-1, -2))
     improved = cost < best_cost
     best_flow = jnp.where(improved[:, None], flow, best_flow)

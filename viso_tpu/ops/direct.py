@@ -95,6 +95,7 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
     """
     half = params.half_patch
     H_img, W_img = img_ref.shape
+    win = min(4 * half + 8, *img_ref.shape)  # patch + motion margin, <= image
 
     # Template: project points into the *reference* frame (viso.cpp:690-694).
     p_ref = se3.transform(R_ref, t_ref, points_w)
@@ -104,7 +105,8 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
     ) & point_mask
     offs = sampling.patch_offsets(half, dtype=uv_ref.dtype)
     uv_patch_ref = uv_ref[:, None, None, :] + offs[None]
-    T, gT = sampling.bilinear_with_grad(img_ref, uv_patch_ref)  # (N,P,P),(N,P,P,2)
+    ref_win, ref_base = sampling.extract_windows(img_ref, uv_ref, win)
+    T, gT = sampling.sample_windows_with_grad(ref_win, ref_base, uv_patch_ref)
     Jpix = pixel_jacobian(p_ref, intr_l)                        # (N, 2, 6)
     J = jnp.einsum("npqi,nij->npqj", gT, Jpix)                  # (N, P, P, 6)
 
@@ -112,15 +114,30 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
     patch_px = (2 * half) ** 2
     Jf = J.reshape(n_points * patch_px, 6)
 
+    # Current-image windows cached at the warm-start projection: the GN
+    # loop then samples with zero gathers (see sampling.py fast path).
+    p0 = se3.transform(R0, t0, points_w)
+    uv0, _ = cam_mod.project(p0, intr_l)
+    cur_win, cur_base = sampling.extract_windows(img_cur, uv0, win)
+
     def compute_b(R, t):
         p_cur = se3.transform(R, t, points_w)
         uv_cur, d_cur = cam_mod.project(p_cur, intr_l)
-        cur_ok = (d_cur > params.min_depth) & cam_mod.is_inside(
-            uv_cur, H_img, W_img, border=half + 1
+        # Samples beyond the cached window clamp to its border; treat a
+        # center drifting near the window edge as invalid.
+        in_win = jnp.all(
+            (uv_cur - cur_base >= half + 1)
+            & (uv_cur - cur_base <= win - half - 2),
+            axis=-1,
+        )
+        cur_ok = (
+            (d_cur > params.min_depth)
+            & cam_mod.is_inside(uv_cur, H_img, W_img, border=half + 1)
+            & in_win
         )
         ok = (ref_ok & cur_ok).astype(img_ref.dtype)  # (N,)
         uv_patch = uv_cur[:, None, None, :] + offs[None]
-        I = sampling.bilinear(img_cur, uv_patch)            # 4 gathers
+        I = sampling.sample_windows(cur_win, cur_base, uv_patch)
         r = I - T                                            # (N, P, P)
         w = _huber_weight(r, params.huber_delta) * ok[:, None, None]
         rf = r.reshape(n_points * patch_px)

@@ -57,19 +57,25 @@ def _single_level(img_ref, img_cur, kp_ref, flow0, params: LKParams):
     Returns (flow (N, 2), mean_sq_err (N,), ok (N,)).
     """
     half = params.half_patch
+    win = min(4 * half + 8, *img_ref.shape)
     offs = sampling.patch_offsets(half, dtype=kp_ref.dtype)  # (P, P, 2)
     uv_ref = kp_ref[:, None, None, :] + offs[None]
-    # Template value + exact bilinear-surface gradient from 4 gathers.
-    T, g = sampling.bilinear_with_grad(img_ref, uv_ref)
+    # Template value + exact gradient from one cached window per feature.
+    ref_win, ref_base = sampling.extract_windows(img_ref, kp_ref, win)
+    T, g = sampling.sample_windows_with_grad(ref_win, ref_base, uv_ref)
     # Template Hessian, hoisted out of the loop (inverse-compositional,
     # ref viso.cpp:297-303 computes J from the *reference* image too).
     H = jnp.einsum("npqi,npqj->nij", g, g)
     n_px = (2 * half) ** 2
 
+    # Current-image windows centered at the warm-start positions: the GN
+    # loop samples from them with zero gathers (sampling.py fast path).
+    cur_win, cur_base = sampling.extract_windows(img_cur, kp_ref + flow0, win)
+
     def body(_, state):
         flow, best_flow, best_cost = state
         uv_cur = uv_ref + flow[:, None, None, :]
-        I = sampling.bilinear(img_cur, uv_cur)
+        I = sampling.sample_windows(cur_win, cur_base, uv_cur)
         r = I - T
         cost = jnp.mean(r * r, axis=(-1, -2))
         improved = cost < best_cost
@@ -89,7 +95,7 @@ def _single_level(img_ref, img_cur, kp_ref, flow0, params: LKParams):
     )
     # Final candidate also competes for best (mirrors "apply then check").
     uv_cur = uv_ref + flow[:, None, None, :]
-    r = sampling.bilinear(img_cur, uv_cur) - T
+    r = sampling.sample_windows(cur_win, cur_base, uv_cur) - T
     cost = jnp.mean(r * r, axis=(-1, -2))
     improved = cost < best_cost
     best_flow = jnp.where(improved[:, None], flow, best_flow)

@@ -1,0 +1,184 @@
+"""CLI runner: visual odometry / SLAM over datasets.
+
+Replaces the reference's hard-coded `main()` (`/root/reference/src/
+main.cpp:14-17,46` — fixed TUM intrinsics + "rgb/" path) with a
+configurable driver:
+
+  python -m viso_tpu.run --dataset kitti --root /data/kitti --sequence 00 \
+      --mode stereo --max-frames 500 --out-dir out/
+
+Writes trajectory (KITTI format), JSONL per-frame log, trajectory plot,
+and — when the dataset ships ground truth — ATE/RPE metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+
+def build_engine(seq, args):
+    from viso_tpu.slam.engine import MonocularVO, StereoVO, VOConfig
+    from viso_tpu.slam.full import StereoSLAM
+
+    intr = seq.intrinsics
+    h, w = args.height, args.width
+    cfg = VOConfig(
+        height=h,
+        width=w,
+        fx=float(intr.fx),
+        fy=float(intr.fy),
+        cx=float(intr.cx),
+        cy=float(intr.cy),
+        baseline=seq.baseline or 0.537,
+        num_features=args.num_features,
+        max_landmarks=args.max_landmarks,
+        max_keyframes=args.max_keyframes,
+        fast_threshold=args.fast_threshold,
+    )
+    if args.mode == "mono":
+        return MonocularVO(cfg)
+    if args.mode == "stereo":
+        return StereoVO(cfg)
+    if args.mode == "slam":
+        return StereoSLAM(cfg)
+    raise ValueError(args.mode)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="viso_tpu VO/SLAM runner")
+    ap.add_argument("--dataset", choices=["kitti", "tum", "euroc", "dir", "synthetic"],
+                    default="synthetic")
+    ap.add_argument("--root", default="")
+    ap.add_argument("--sequence", default="00")
+    ap.add_argument("--mode", choices=["mono", "stereo", "slam"], default="stereo")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--num-features", type=int, default=512)
+    ap.add_argument("--max-landmarks", type=int, default=2048)
+    ap.add_argument("--max-keyframes", type=int, default=8)
+    ap.add_argument("--fast-threshold", type=float, default=20.0)
+    ap.add_argument("--height", type=int, default=0)
+    ap.add_argument("--width", type=int, default=0)
+    ap.add_argument("--out-dir", default="out")
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--resume", default="")
+    args = ap.parse_args(argv)
+
+    from viso_tpu.data import datasets, synthetic
+    from viso_tpu.utils import checkpoint, logging as vlog, metrics, viz
+
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.dataset == "kitti":
+        seq = datasets.load_kitti(
+            args.root, args.sequence, stereo=args.mode != "mono",
+            max_frames=args.max_frames,
+        )
+    elif args.dataset == "tum":
+        seq = datasets.load_tum(args.root, max_frames=args.max_frames)
+    elif args.dataset == "euroc":
+        seq = datasets.load_euroc(args.root, max_frames=args.max_frames)
+    elif args.dataset == "dir":
+        from viso_tpu.geometry import camera
+
+        seq = datasets.Sequence(
+            frames=datasets.load_image_dir(args.root),
+            intrinsics=camera.Intrinsics.create(**datasets.TUM_FREIBURG1),
+            name="dir",
+        )
+    else:  # synthetic smoke run
+        from viso_tpu.geometry import camera
+
+        h, w = 240, 320
+        intr = camera.Intrinsics.create(260.0, 260.0, w / 2 - 0.5, h / 2 - 0.5)
+        rng = np.random.default_rng(0)
+        scene = synthetic.corridor_scene(rng)
+        n = args.max_frames or 30
+        Rs, ts = synthetic.forward_trajectory(n, step=0.4)
+
+        def gen():
+            for i, (R, t) in enumerate(zip(Rs, ts)):
+                il, ir, _ = synthetic.make_stereo_pair(scene, intr, R, t, h, w, 0.4)
+                yield datasets.Frame(index=i, image=il, image_right=ir)
+
+        seq = datasets.Sequence(
+            frames=gen(), intrinsics=intr, baseline=0.4,
+            gt_R=Rs, gt_t=ts, name="synthetic",
+        )
+
+    frames_iter = iter(seq.frames)
+    first = next(frames_iter)
+    if not args.height:
+        args.height, args.width = first.image.shape
+    vo = build_engine(seq, args)
+    if args.resume:
+        vo.map, extra = checkpoint.load_map(args.resume)
+        print(f"resumed map from {args.resume}: {extra}")
+
+    log = vlog.RunLogger(path=os.path.join(args.out_dir, "frames.jsonl"))
+    log.tick()
+
+    def step(frame):
+        if args.mode == "mono":
+            return vo.process(frame.image)
+        return vo.process(frame.image, frame.image_right)
+
+    import itertools
+
+    for frame in itertools.chain([first], frames_iter):
+        r = step(frame)
+        log.log_frame(
+            frame.index,
+            num_tracked=r.num_tracked,
+            num_landmarks=r.num_landmarks,
+            num_keyframes=len(vo.kf_order),
+            is_keyframe=r.is_keyframe,
+            state=r.state,
+        )
+        if args.checkpoint_every and frame.index and frame.index % args.checkpoint_every == 0:
+            checkpoint.save_map(
+                os.path.join(args.out_dir, "map.npz"), vo.map,
+                extra={"frame": frame.index},
+            )
+
+    R_est, t_est = vo.trajectory()
+    checkpoint.save_trajectory(os.path.join(args.out_dir, "trajectory.txt"), R_est, t_est)
+    summary = log.summary()
+    summary["sequence"] = seq.name
+
+    if seq.gt_R is not None:
+        n = len(R_est)
+        gt_R, gt_t = seq.gt_R[:n], seq.gt_t[:n]
+        c_est = metrics.camera_centers(R_est, t_est)
+        c_gt = metrics.camera_centers(gt_R, gt_t)
+        with_scale = args.mode == "mono"
+        summary["ate_rmse_m"] = metrics.ate_rmse(
+            c_est, c_gt, align=True, with_scale=with_scale
+        )
+        trans_rpe, rot_rpe = metrics.rpe(R_est, t_est, gt_R, gt_t)
+        summary["rpe_trans_m"] = trans_rpe
+        summary["rpe_rot_deg"] = rot_rpe
+        viz.plot_trajectory(
+            R_est, t_est, gt_R, gt_t,
+            path=os.path.join(args.out_dir, "trajectory.png"),
+            title=f"{seq.name} ATE={summary['ate_rmse_m']:.3f} m",
+        )
+    else:
+        viz.plot_trajectory(
+            R_est, t_est, path=os.path.join(args.out_dir, "trajectory.png"),
+            title=seq.name,
+        )
+
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+    log.close()
+    return summary
+
+
+if __name__ == "__main__":
+    main()
