@@ -1,0 +1,69 @@
+"""Windowed (zero-gather) sampling must agree with gather-based bilinear."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from viso_tpu.geometry import sampling
+
+
+def test_windowed_matches_gather(rng):
+    img = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+    n = 64
+    centers = jnp.asarray(
+        np.stack([rng.uniform(12, 116, n), rng.uniform(12, 84, n)], -1).astype(
+            np.float32
+        )
+    )
+    offs = sampling.patch_offsets(4, jnp.float32)
+    uv = centers[:, None, None, :] + offs[None]
+    ref = sampling.bilinear(img, uv)
+    win, base = sampling.extract_windows(img, centers, 24)
+    out = sampling.sample_windows(win, base, uv)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_windowed_grad_matches_gather(rng):
+    img = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+    n = 32
+    centers = jnp.asarray(
+        np.stack([rng.uniform(12, 116, n), rng.uniform(12, 84, n)], -1).astype(
+            np.float32
+        )
+    )
+    offs = sampling.patch_offsets(4, jnp.float32)
+    uv = centers[:, None, None, :] + offs[None]
+    v_ref, g_ref = sampling.bilinear_with_grad(img, uv)
+    win, base = sampling.extract_windows(img, centers, 24)
+    v, g = sampling.sample_windows_with_grad(win, base, uv)
+    assert np.allclose(np.asarray(v), np.asarray(v_ref), atol=1e-3)
+    assert np.allclose(np.asarray(g), np.asarray(g_ref), atol=1e-2)
+
+
+def test_windowed_indexed(rng):
+    imgs = jnp.asarray(rng.uniform(0, 255, (3, 64, 80)).astype(np.float32))
+    n = 24
+    centers = jnp.asarray(
+        np.stack([rng.uniform(12, 68, n), rng.uniform(12, 52, n)], -1).astype(
+            np.float32
+        )
+    )
+    k = jnp.asarray(rng.integers(0, 3, n), jnp.int32)
+    offs = sampling.patch_offsets(3, jnp.float32)
+    uv = centers[:, None, None, :] + offs[None]
+    ref = sampling.bilinear_indexed(imgs, k, uv)
+    win, base = sampling.extract_windows_indexed(imgs, k, centers, 20)
+    out = sampling.sample_windows(win, base, uv)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_window_edge_clamping(rng):
+    # Centers near the border: windows clip to the image; samples inside
+    # the image must still be exact.
+    img = jnp.asarray(rng.uniform(0, 255, (48, 64)).astype(np.float32))
+    centers = jnp.asarray([[5.0, 5.0], [60.0, 44.0]], jnp.float32)
+    offs = sampling.patch_offsets(2, jnp.float32)
+    uv = centers[:, None, None, :] + offs[None]
+    ref = sampling.bilinear(img, uv)
+    win, base = sampling.extract_windows(img, centers, 16)
+    out = sampling.sample_windows(win, base, uv)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
