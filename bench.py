@@ -23,8 +23,8 @@ def main():
     from viso_tpu.slam.engine import StereoVO, VOConfig
 
     H, W = 376, 1240
-    n_frames = 30
-    warmup = 6
+    n_frames = 40
+    warmup = 8  # must cover init-keyframe, tracking, keyframe+BA compiles
 
     cfg = VOConfig(
         height=H,

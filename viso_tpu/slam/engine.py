@@ -67,6 +67,10 @@ class VOConfig:
     # Tracking
     ransac_threshold_px: float = 2.0
     min_tracked_points: int = 30
+    # Active tracking subset: the per-frame kernels run on this many
+    # landmark slots (valid + recently-tracked first) instead of the full
+    # capacity — tracking cost scales with this, not max_landmarks.
+    track_landmarks: int = 1024
     # Lost-tracking handling (generalizes the reference's
     # reinitialize_after re-seeding, viso.h:20).
     min_lost_points: int = 8
@@ -186,8 +190,13 @@ class BaseVO:
         cfg = self.cfg
         intr = self.intr
 
+        A = min(cfg.track_landmarks, cfg.max_landmarks)
+
         @jax.jit
-        def track(m: map_state.MapState, last_pyr, pyr, R, t, prev_R, prev_t):
+        def track(
+            m: map_state.MapState, last_pyr, pyr, R, t, prev_R, prev_t,
+            last_tracked,
+        ):
             # Constant-velocity warm start with a clamped twist: an
             # unbounded velocity estimate compounds exponentially once
             # tracking degrades.
@@ -203,36 +212,50 @@ class BaseVO:
             )
             dR, dt = se3.se3_exp(jnp.concatenate([rho, phi]))
             R0, t0 = se3.compose(dR, dt, R, t)
-            R_d, t_d, cost = direct.estimate_pose(
-                last_pyr, pyr, R, t, m.points, m.point_mask, intr, R0, t0
+
+            # Active subset: valid landmarks, recently-tracked first, so
+            # the heavy per-point kernels run on A slots instead of L.
+            L = m.points.shape[0]
+            priority = (
+                m.point_mask.astype(jnp.int32) * 2
+                + (m.point_mask & last_tracked).astype(jnp.int32)
             )
-            p_cam = se3.transform(R_d, t_d, m.points)
+            active = jnp.argsort(-priority)[:A]
+            pts_a = m.points[active]
+            mask_a = m.point_mask[active]
+
+            R_d, t_d, cost = direct.estimate_pose(
+                last_pyr, pyr, R, t, pts_a, mask_a, intr, R0, t0
+            )
+            p_cam = se3.transform(R_d, t_d, pts_a)
             uv_pred, depth = cam_mod.project(p_cam, intr)
             visible = (
-                m.point_mask
+                mask_a
                 & (depth > 0.1)
                 & cam_mod.is_inside(uv_pred, cfg.height, cfg.width, border=8)
             )
-            k_idx, cos = align.select_reference_keyframes(
-                m.points, m.kf_R, m.kf_t, m.kf_mask, m.obs_mask
+            k_idx_a, cos = align.select_reference_keyframes(
+                pts_a, m.kf_R, m.kf_t, m.kf_mask, m.obs_mask[:, active]
             )
-            L = m.points.shape[0]
-            has_obs = m.obs_mask[k_idx, jnp.arange(L)]
-            uv_ref = m.obs_uv[k_idx, jnp.arange(L)]
-            refined, err, ok_align = align.align(
-                m.kf_pyr, k_idx, uv_ref, pyr, uv_pred, visible & has_obs
+            has_obs = m.obs_mask[k_idx_a, active]
+            uv_ref = m.obs_uv[k_idx_a, active]
+            refined_a, err, ok_a = align.align(
+                m.kf_pyr, k_idx_a, uv_ref, pyr, uv_pred, visible & has_obs
             )
-            x_ref = cam_mod.normalize(refined, intr)
+            x_ref = cam_mod.normalize(refined_a, intr)
             R_f, t_f = pnp.refine_pose(
-                R_d, t_d, m.points, x_ref,
-                ok_align.astype(jnp.float32),
+                R_d, t_d, pts_a, x_ref,
+                ok_a.astype(jnp.float32),
                 huber=cfg.ransac_threshold_px / cfg.fx,
                 iters=8,
             )
-            n_tracked = jnp.sum(ok_align)
+            n_tracked = jnp.sum(ok_a)
             use_refined = n_tracked >= cfg.min_tracked_points
             R_new = jnp.where(use_refined, R_f, R_d)
             t_new = jnp.where(use_refined, t_f, t_d)
+            # Scatter results back to full landmark index space.
+            ok_align = jnp.zeros(L, bool).at[active].set(ok_a)
+            refined = jnp.zeros((L, 2), refined_a.dtype).at[active].set(refined_a)
             return R_new, t_new, ok_align, refined, n_tracked, m.num_points
 
         return track
@@ -270,11 +293,17 @@ class BaseVO:
         """
         if "track" not in self._kernels:
             self._kernels["track"] = self._build_track_kernel()
+        if not hasattr(self, "_last_tracked"):
+            self._last_tracked = jnp.zeros(self.cfg.max_landmarks, bool)
         R_new, t_new, ok_align, refined, n_tracked, n_points = self._kernels[
             "track"
-        ](self.map, self.last_pyr, pyr, self.R, self.t, self.prev_R, self.prev_t)
+        ](
+            self.map, self.last_pyr, pyr, self.R, self.t,
+            self.prev_R, self.prev_t, self._last_tracked,
+        )
         self.prev_R, self.prev_t = self.R, self.t
         self.R, self.t = R_new, t_new
+        self._last_tracked = ok_align
         self._n_points_cache = int(n_points)
         return ok_align, refined, int(n_tracked)
 
