@@ -26,9 +26,19 @@ _ARC = 9  # FAST-9 contiguity
 
 
 def _shifted_stack(img):
-    """(16, H, W) copies of img shifted so index i holds circle-pixel i."""
+    """(16, H, W) copies of img shifted so index i holds circle-pixel i.
+
+    Built from static slices of a zero-padded image (not jnp.roll: rolls
+    materialize full-size shuffled copies on TPU; padded slices fuse).
+    """
+    H, W = img.shape
+    padded = jnp.pad(img, 3)
     return jnp.stack(
-        [jnp.roll(img, shift=(-dr, -dc), axis=(0, 1)) for dr, dc in _CIRCLE], axis=0
+        [
+            lax.slice(padded, (3 + dr, 3 + dc), (3 + dr + H, 3 + dc + W))
+            for dr, dc in _CIRCLE
+        ],
+        axis=0,
     )
 
 
@@ -36,9 +46,14 @@ def score_map(img, threshold: float):
     """Dense FAST-9 corner score (H, W); 0 where the segment test fails.
 
     Score = max(sum of brighter-arc excesses, sum of darker-arc excesses),
-    the usual OpenCV-style corner response family.
+    the usual OpenCV-style corner response family. Dispatches to the
+    Pallas VMEM-resident kernel on TPU backends when the image fits.
     """
     img = jnp.asarray(img, dtype=jnp.float32)
+    from viso_tpu.ops import fast_pallas
+
+    if fast_pallas.supported(img.shape):
+        return fast_pallas.score_map_pallas(img, float(threshold))
     circ = _shifted_stack(img)
     diff = circ - img[None]
     brighter = diff > threshold
@@ -56,7 +71,7 @@ def score_map(img, threshold: float):
     score = jnp.maximum(
         jnp.where(is_corner_b, v_b, 0.0), jnp.where(is_corner_d, v_d, 0.0)
     )
-    # Kill the 3-pixel border (ring samples wrap there via the rolls).
+    # Kill the 3-pixel border (ring samples are padding-contaminated there).
     H, W = img.shape
     rows = jnp.arange(H)[:, None]
     cols = jnp.arange(W)[None, :]

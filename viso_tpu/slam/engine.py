@@ -194,9 +194,11 @@ class BaseVO:
 
         @jax.jit
         def track(
-            m: map_state.MapState, last_pyr, pyr, R, t, prev_R, prev_t,
+            m: map_state.MapState, last_pyr, img, R, t, prev_R, prev_t,
             last_tracked,
         ):
+            # Pyramid built in-kernel: one host->device launch per frame.
+            pyr = pyramid.build_pyramid(img, cfg.pyramid_levels)
             # Constant-velocity warm start with a clamped twist: an
             # unbounded velocity estimate compounds exponentially once
             # tracking degrades.
@@ -256,7 +258,7 @@ class BaseVO:
             # Scatter results back to full landmark index space.
             ok_align = jnp.zeros(L, bool).at[active].set(ok_a)
             refined = jnp.zeros((L, 2), refined_a.dtype).at[active].set(refined_a)
-            return R_new, t_new, ok_align, refined, n_tracked, m.num_points
+            return R_new, t_new, ok_align, refined, n_tracked, m.num_points, pyr
 
         return track
 
@@ -286,26 +288,26 @@ class BaseVO:
         self.map, final_cost = self._kernels["ba"](self.map, jnp.asarray(cam_fixed))
         return final_cost
 
-    def _track_landmarks(self, pyr):
-        """One jitted call: direct tracking + map alignment + pose refine.
+    def _track_landmarks(self, img):
+        """One jitted call: pyramid + direct tracking + alignment + refine.
 
-        Returns (ok_align (L,), refined_uv (L, 2), n_tracked int).
+        Returns (ok_align (L,), refined_uv (L, 2), n_tracked int, pyr).
         """
         if "track" not in self._kernels:
             self._kernels["track"] = self._build_track_kernel()
         if not hasattr(self, "_last_tracked"):
             self._last_tracked = jnp.zeros(self.cfg.max_landmarks, bool)
-        R_new, t_new, ok_align, refined, n_tracked, n_points = self._kernels[
-            "track"
-        ](
-            self.map, self.last_pyr, pyr, self.R, self.t,
+        (
+            R_new, t_new, ok_align, refined, n_tracked, n_points, pyr
+        ) = self._kernels["track"](
+            self.map, self.last_pyr, img, self.R, self.t,
             self.prev_R, self.prev_t, self._last_tracked,
         )
         self.prev_R, self.prev_t = self.R, self.t
         self.R, self.t = R_new, t_new
         self._last_tracked = ok_align
         self._n_points_cache = int(n_points)
-        return ok_align, refined, int(n_tracked)
+        return ok_align, refined, int(n_tracked), pyr
 
     def _should_insert_keyframe(self, n_tracked):
         cfg = self.cfg
@@ -324,14 +326,13 @@ class BaseVO:
         )
 
     def trajectory(self):
-        R = np.stack([r.R for r in self.results])
-        t = np.stack([r.t for r in self.results])
+        # Results hold device arrays (no per-frame sync); pull here.
+        R = np.stack([np.asarray(r.R) for r in self.results])
+        t = np.stack([np.asarray(r.t) for r in self.results])
         return R, t
 
     def _record(self, **kw):
-        self.results.append(
-            FrameResult(R=np.asarray(self.R), t=np.asarray(self.t), **kw)
-        )
+        self.results.append(FrameResult(R=self.R, t=self.t, **kw))
 
 
 class StereoVO(BaseVO):
@@ -347,9 +348,9 @@ class StereoVO(BaseVO):
         self.frame_idx += 1
         img_left = jnp.asarray(img_left, jnp.float32)
         img_right = jnp.asarray(img_right, jnp.float32)
-        pyr = pyramid.build_pyramid(img_left, cfg.pyramid_levels)
 
         if self.state == "init":
+            pyr = pyramid.build_pyramid(img_left, cfg.pyramid_levels)
             self._insert_stereo_keyframe(pyr, img_left, img_right)
             self.state = "tracking"
             self.last_pyr = pyr
@@ -363,7 +364,7 @@ class StereoVO(BaseVO):
             )
             return self.results[-1]
 
-        ok_align, refined, n_tracked = self._track_landmarks(pyr)
+        ok_align, refined, n_tracked, pyr = self._track_landmarks(img_left)
 
         # Lost-tracking recovery: after a few nearly-trackless frames,
         # force a fresh stereo keyframe (new landmarks re-anchor the
@@ -517,12 +518,12 @@ class MonocularVO(BaseVO):
         cfg = self.cfg
         self.frame_idx += 1
         img = jnp.asarray(img, jnp.float32)
-        pyr = pyramid.build_pyramid(img, cfg.pyramid_levels)
 
         if self.state == "init":
+            pyr = pyramid.build_pyramid(img, cfg.pyramid_levels)
             self._try_initialize(pyr)
         else:
-            ok_align, refined, n_tracked = self._track_landmarks(pyr)
+            ok_align, refined, n_tracked, pyr = self._track_landmarks(img)
             is_kf = self._should_insert_keyframe(n_tracked)
             if is_kf:
                 self._insert_mono_keyframe(pyr, (ok_align, refined))
