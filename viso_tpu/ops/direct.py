@@ -30,7 +30,9 @@ from viso_tpu.geometry import sampling, se3
 
 class DirectParams(NamedTuple):
     half_patch: int = 4        # ref viso.h:25
-    iters: int = 15            # ref caps at 100 with early stop (viso.cpp:666)
+    # The ref caps at 100 with early stop (viso.cpp:666); with the
+    # constant-velocity warm start and coarse-to-fine, 10 suffices.
+    iters: int = 10
     levels: int = 4            # ref viso.cpp:760-766 levels 3..0
     huber_delta: float = 25.0  # gray levels; robust kernel (ours)
     min_depth: float = 1e-3

@@ -23,22 +23,23 @@ from viso_tpu.ops.fast import _CIRCLE, _ARC
 _VMEM_BYTES_LIMIT = 8 * 1024 * 1024
 
 
-def _score_block(img, threshold):
-    """FAST score for the interior of a block; zero on the 3-px margin.
+def _kernel(img_ref, out_ref, *, threshold):
+    """Full-size FAST score with circle pixels fetched via pltpu.roll.
 
-    img: (h, w) array already resident in VMEM.
+    Rolls are cyclic — the 3-px border is wrap-contaminated — so the
+    border is zeroed with an iota mask. No pads/concats (Mosaic rejects
+    offset-mismatched concatenates), only elementwise VPU work.
     """
+    img = img_ref[:]
     h, w = img.shape
-    ih, iw = h - 6, w - 6
-    center = jax.lax.slice(img, (3, 3), (3 + ih, 3 + iw))
     diffs = []
     for dr, dc in _CIRCLE:
-        shifted = jax.lax.slice(img, (3 + dr, 3 + dc), (3 + dr + ih, 3 + dc + iw))
-        diffs.append(shifted - center)
+        shifted = pltpu.roll(pltpu.roll(img, (-dr) % h, 0), (-dc) % w, 1)
+        diffs.append(shifted - img)
     brighter = [d > threshold for d in diffs]
     darker = [d < -threshold for d in diffs]
-    is_b = jnp.zeros_like(center, dtype=jnp.bool_)
-    is_d = jnp.zeros_like(center, dtype=jnp.bool_)
+    is_b = jnp.zeros_like(img, dtype=jnp.bool_)
+    is_d = jnp.zeros_like(img, dtype=jnp.bool_)
     for s in range(16):
         arc_b = brighter[s]
         arc_d = darker[s]
@@ -50,11 +51,10 @@ def _score_block(img, threshold):
     v_b = sum(jnp.where(b, d - threshold, 0.0) for b, d in zip(brighter, diffs))
     v_d = sum(jnp.where(dk, -d - threshold, 0.0) for dk, d in zip(darker, diffs))
     score = jnp.maximum(jnp.where(is_b, v_b, 0.0), jnp.where(is_d, v_d, 0.0))
-    return jnp.pad(score, ((3, 3), (3, 3)))
-
-
-def _kernel(img_ref, out_ref, *, threshold):
-    out_ref[:] = _score_block(img_ref[:], threshold)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    valid = (rows >= 3) & (rows < h - 3) & (cols >= 3) & (cols < w - 3)
+    out_ref[:] = jnp.where(valid, score, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold",))
@@ -70,7 +70,18 @@ def score_map_pallas(img, threshold: float):
 
 
 def supported(img_shape) -> bool:
-    """Gridless whole-image kernel fits VMEM and a TPU-family backend."""
+    """Gridless whole-image kernel fits VMEM and a TPU-family backend.
+
+    Opt-in via VISO_TPU_PALLAS_FAST=1: the current Mosaic toolchain in
+    this environment crashes compiling the 16-way rolled segment test at
+    KITTI frame sizes (remote tpu_compile_helper exit 1), and the
+    padded-slice XLA formulation is already fused and fast; the kernel is
+    kept for toolchains where it compiles.
+    """
+    import os
+
+    if os.environ.get("VISO_TPU_PALLAS_FAST") != "1":
+        return False
     h, w = img_shape
     if h * w * 4 > _VMEM_BYTES_LIMIT:
         return False
