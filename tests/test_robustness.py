@@ -1,0 +1,52 @@
+"""Failure-detection / recovery tests (SURVEY.md §5): tracking loss must
+be detected and recovered from, never propagated as divergence."""
+
+import numpy as np
+
+from viso_tpu.data import synthetic
+from viso_tpu.geometry import camera
+from viso_tpu.slam.engine import StereoVO
+from viso_tpu.utils import metrics
+
+from tests.test_engine import small_config, H, W, INTR
+
+
+def test_blackout_frames_recovering(rng):
+    scene = synthetic.corridor_scene(rng, tex_size=512)
+    intr = camera.Intrinsics.create(**INTR)
+    Rs, ts = synthetic.forward_trajectory(16, step=0.25)
+    frames = []
+    for i, (R, t) in enumerate(zip(Rs, ts)):
+        il, ir, _ = synthetic.make_stereo_pair(scene, intr, R, t, H, W, 0.3)
+        if 6 <= i <= 8:  # three blacked-out frames (sensor dropout)
+            il = np.zeros_like(il)
+            ir = np.zeros_like(ir)
+        frames.append((il, ir))
+    vo = StereoVO(small_config())
+    for il, ir in frames:
+        r = vo.process(il, ir)
+    R_est, t_est = vo.trajectory()
+    # Never NaN/inf, even through the dropout.
+    assert np.all(np.isfinite(R_est)) and np.all(np.isfinite(t_est))
+    # Poses must stay bounded (motion-model clamp holds the line).
+    c = metrics.camera_centers(R_est, t_est)
+    assert np.abs(c).max() < 50.0
+    # Tracking must resume after the dropout.
+    tracked_after = [r.num_tracked for r in vo.results[11:]]
+    assert max(tracked_after) > 20, tracked_after
+
+
+def test_static_camera_is_stable(rng):
+    # Zero motion: the pose must stay ~identity (no drift explosion from
+    # the constant-velocity model feeding on noise).
+    scene = synthetic.corridor_scene(rng, tex_size=512)
+    intr = camera.Intrinsics.create(**INTR)
+    R0 = np.eye(3, dtype=np.float32)
+    t0 = np.zeros(3, np.float32)
+    il, ir, _ = synthetic.make_stereo_pair(scene, intr, R0, t0, H, W, 0.3)
+    vo = StereoVO(small_config())
+    for _ in range(8):
+        vo.process(il, ir)
+    R_est, t_est = vo.trajectory()
+    c = metrics.camera_centers(R_est, t_est)
+    assert np.abs(c).max() < 0.02
