@@ -13,9 +13,15 @@ per-frame engine path (pyramid, tracking, alignment, keyframes, BA).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent compilation cache: remote TPU compiles take minutes; cached
+# executables make repeat benchmark runs measure compute, not compiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/viso_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def main():

@@ -62,7 +62,8 @@ def _align_level(imgs_ref, k_idx, uv_ref, img_cur, flow0, params: AlignParams):
     flow0: (N, 2) current displacement of the target from uv_ref.
     """
     half = params.half_patch
-    win = min(4 * half + 8, imgs_ref.shape[1], imgs_ref.shape[2], *img_cur.shape)
+    # Alignment shifts are gated at max_shift (~4 px): +-4 margin suffices.
+    win = min(2 * half + 8, imgs_ref.shape[1], imgs_ref.shape[2], *img_cur.shape)
     offs = sampling.patch_offsets(half, dtype=uv_ref.dtype)
     uv_t = uv_ref[:, None, None, :] + offs[None]
     # Template value + gradient from one cached window per pair (indexed

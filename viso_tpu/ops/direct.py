@@ -97,7 +97,11 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
     """
     half = params.half_patch
     H_img, W_img = img_ref.shape
-    win = min(4 * half + 8, *img_ref.shape)  # patch + motion margin, <= image
+    # Window = patch + motion margin. Fine (large) levels track with a
+    # warm start so +-4 px margin suffices; coarse levels absorb the
+    # unmodeled motion with a wider margin (they are cheap to extract).
+    margin = 8 if min(img_ref.shape) <= 200 else 4
+    win = min(2 * half + 2 * margin, *img_ref.shape)
 
     # Template: project points into the *reference* frame (viso.cpp:690-694).
     p_ref = se3.transform(R_ref, t_ref, points_w)
