@@ -64,9 +64,17 @@ def main():
     for il, ir in frames[:warmup]:
         vo.process(il, ir)
 
+    # Timed region with one-frame-ahead upload: the next pair's async
+    # host->device transfer overlaps the current frame's compute (the
+    # native decoder prefetches on the host side the same way).
+    timed = frames[warmup:]
     t0 = time.perf_counter()
-    for il, ir in frames[warmup:]:
-        vo.process(il, ir)
+    pending = vo.to_device(*timed[0])
+    for nxt in timed[1:]:
+        nxt_dev = vo.to_device(*nxt)
+        vo.process(*pending)
+        pending = nxt_dev
+    vo.process(*pending)
     elapsed = time.perf_counter() - t0
     fps = (n_frames - warmup) / elapsed
 
