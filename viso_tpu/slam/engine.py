@@ -260,7 +260,14 @@ class BaseVO:
             # Scatter results back to full landmark index space.
             ok_align = jnp.zeros(L, bool).at[active].set(ok_a)
             refined = jnp.zeros((L, 2), refined_a.dtype).at[active].set(refined_a)
-            return R_new, t_new, ok_align, refined, n_tracked, m.num_points, pyr
+            # Pack the per-frame scalars into ONE small array so the host
+            # needs a single device->host transfer (the TPU sits behind a
+            # ~30 ms round-trip tunnel; scalar readbacks are the frame
+            # budget's biggest enemy).
+            stats = jnp.stack(
+                [n_tracked.astype(jnp.int32), m.num_points.astype(jnp.int32)]
+            )
+            return R_new, t_new, ok_align, refined, stats, pyr
 
         return track
 
@@ -294,13 +301,19 @@ class BaseVO:
         """One jitted call: pyramid + direct tracking + alignment + refine.
 
         Returns (ok_align (L,), refined_uv (L, 2), n_tracked int, pyr).
+
+        The returned n_tracked is ONE FRAME STALE: the freshly dispatched
+        kernel's stats stay on-device; we fetch the *previous* frame's
+        stats, whose transfer overlaps the current frame's compute. Over
+        a remote-attached TPU (~30 ms RTT) a same-frame readback would
+        serialize host RTT with device compute every frame.
         """
         if "track" not in self._kernels:
             self._kernels["track"] = self._build_track_kernel()
         if not hasattr(self, "_last_tracked"):
             self._last_tracked = jnp.zeros(self.cfg.max_landmarks, bool)
         (
-            R_new, t_new, ok_align, refined, n_tracked, n_points, pyr
+            R_new, t_new, ok_align, refined, stats, pyr
         ) = self._kernels["track"](
             self.map, self.last_pyr, img, self.R, self.t,
             self.prev_R, self.prev_t, self._last_tracked,
@@ -308,8 +321,16 @@ class BaseVO:
         self.prev_R, self.prev_t = self.R, self.t
         self.R, self.t = R_new, t_new
         self._last_tracked = ok_align
-        self._n_points_cache = int(n_points)
-        return ok_align, refined, int(n_tracked), pyr
+        pending = getattr(self, "_pending_stats", None)
+        self._pending_stats = stats
+        if pending is not None:
+            n_tracked, n_points = (int(v) for v in np.asarray(pending))
+            self._n_points_cache = n_points
+        else:
+            # First tracking frame: be optimistic (no KF / lost decisions
+            # should fire off a single missing sample).
+            n_tracked = self.cfg.num_features
+        return ok_align, refined, n_tracked, pyr
 
     def _should_insert_keyframe(self, n_tracked):
         cfg = self.cfg
@@ -408,7 +429,8 @@ class StereoVO(BaseVO):
                 # Tracking pose follows the (possibly shifted) newest KF.
                 self.R = self.map.kf_R[slot]
                 self.t = self.map.kf_t[slot]
-            self._n_points_cache = int(self.map.num_points)
+            # num_points refreshes from the next frame's stats readback —
+            # no blocking sync here.
 
         self.last_pyr = pyr
         self._record(
@@ -556,7 +578,7 @@ class MonocularVO(BaseVO):
             self.last_pyr = pyr
             self._record(
                 num_tracked=n_tracked,
-                num_landmarks=int(self.map.num_points),
+                num_landmarks=getattr(self, "_n_points_cache", 0),
                 is_keyframe=is_kf,
                 state=self.state,
             )
