@@ -32,6 +32,11 @@ class AlignParams(NamedTuple):
     err_thresh: float = 225.0
     min_det: float = 1e-4
     max_shift: float = 4.0  # reject refinements that moved further than this
+    # Finest pyramid levels to run. The warm start comes from direct
+    # tracking and max_shift gates the result at +-4 px, so coarse levels
+    # (which exist to absorb large displacements) are dead weight; each
+    # level costs the same on TPU (fixed N and window size).
+    levels: int = 2
 
 
 def select_reference_keyframes(points_w, kf_R, kf_t, kf_mask, obs_mask=None):
@@ -125,7 +130,7 @@ def align(
     uv_cur0: (N, 2) predicted positions in the current frame (level 0).
     Returns (uv_refined (N, 2), err (N,), ok (N,)).
     """
-    levels = len(cur_pyramid)
+    levels = min(params.levels, len(cur_pyramid))
     flow = (uv_cur0 - uv_ref) * (0.5 ** (levels - 1))
     for level in range(levels - 1, -1, -1):
         s = 0.5**level

@@ -4,7 +4,10 @@ TPU-native replacement for the reference's `cv::pyrDown` pyramid built in
 the `Keyframe` ctor (`/root/reference/include/keyframe.h:20-22,38-45` —
 4 levels at scale 0.5). `cv::pyrDown` is a 5x5 Gaussian blur followed by
 2x subsampling; we implement the same [1 4 6 4 1]/16 separable kernel as
-two depthwise convolutions, which XLA fuses and runs on the VPU/MXU.
+shift-and-add slices (5 scaled adds per axis) with edge replication at
+the borders — on TPU this lowers to pure VPU elementwise work and is
+~3x faster than the equivalent conv_general_dilated (tiny-channel convs
+hit a pathological layout path in the conv emitter).
 
 Pyramids are tuples of (H/2^l, W/2^l) float32 arrays — a static pytree,
 so downstream jits trace once per image geometry.
@@ -13,7 +16,6 @@ so downstream jits trace once per image geometry.
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
 _KERNEL_1D = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=jnp.float32) / 16.0
 
@@ -23,13 +25,14 @@ SCALES = tuple(0.5**l for l in range(NUM_LEVELS))  # ref viso.cpp:362-364 {1,.5,
 
 def _blur_down(img):
     """5-tap Gaussian blur + 2x subsample of (H, W) image."""
-    x = img[None, None]  # NCHW
+    h, w = img.shape
     k = _KERNEL_1D.astype(img.dtype)
-    kh = k.reshape(1, 1, 1, 5)
-    kv = k.reshape(1, 1, 5, 1)
-    x = lax.conv_general_dilated(x, kh, window_strides=(1, 1), padding="SAME")
-    x = lax.conv_general_dilated(x, kv, window_strides=(1, 1), padding="SAME")
-    return x[0, 0, ::2, ::2]
+    xp = jnp.pad(img, ((2, 2), (0, 0)), mode="edge")
+    v = sum(k[i] * xp[i : i + h, :] for i in range(5))
+    v = v[::2]
+    vp = jnp.pad(v, ((0, 0), (2, 2)), mode="edge")
+    o = sum(k[i] * vp[:, i : i + w] for i in range(5))
+    return o[:, ::2]
 
 
 def build_pyramid(img, num_levels: int = NUM_LEVELS):
