@@ -67,3 +67,38 @@ def test_window_edge_clamping(rng):
     win, base = sampling.extract_windows(img, centers, 16)
     out = sampling.sample_windows(win, base, uv)
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_patch_grid_matches_flattened(rng):
+    """Separable axis-aligned grid sampling == generic sample_windows."""
+    img = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+    n = 64
+    centers = jnp.asarray(
+        np.stack([rng.uniform(2, 126, n), rng.uniform(2, 94, n)], -1).astype(
+            np.float32
+        )
+    )
+    offs = sampling.patch_offsets(4, jnp.float32)
+    uv = centers[:, None, None, :] + offs[None]
+    win, base = sampling.extract_windows(img, centers, 16)
+    ref = sampling.sample_windows(win, base, uv)
+    out = sampling.sample_patch_grid(win, base, centers, 4)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_patch_grid_with_grad_matches_flattened(rng):
+    img = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+    n = 48
+    centers = jnp.asarray(
+        np.stack([rng.uniform(2, 126, n), rng.uniform(2, 94, n)], -1).astype(
+            np.float32
+        )
+    )
+    offs = sampling.patch_offsets(3, jnp.float32)
+    uv = centers[:, None, None, :] + offs[None]
+    win, base = sampling.extract_windows(img, centers, 16)
+    v_ref, g_ref = sampling.sample_windows_with_grad(win, base, uv)
+    v, gx, gy = sampling.sample_patch_grid_with_grad(win, base, centers, 3)
+    assert np.allclose(np.asarray(v), np.asarray(v_ref), atol=1e-4)
+    assert np.allclose(np.asarray(gx), np.asarray(g_ref[..., 0]), atol=1e-3)
+    assert np.allclose(np.asarray(gy), np.asarray(g_ref[..., 1]), atol=1e-3)

@@ -227,6 +227,62 @@ def sample_windows_with_grad(windows, base, uv):
     return vals.reshape(n, P, Q), g.reshape(n, P, Q, 2)
 
 
+def _axis_coords(windows, base, centers, half):
+    """Per-axis window-relative sample coordinates for an axis-aligned
+    (2*half, 2*half) patch grid centered at `centers`.
+
+    Returns (us (N, P), vs (N, P)) clamped to the window, P = 2*half —
+    identical per-axis clamping to `sample_windows` on the same grid.
+    """
+    win = windows.shape[-1]
+    r = jnp.arange(-half, half, dtype=centers.dtype)
+    us = jnp.clip(centers[:, 0:1] - base[:, 0:1] + r[None], 0.0, win - 1.0)
+    vs = jnp.clip(centers[:, 1:2] - base[:, 1:2] + r[None], 0.0, win - 1.0)
+    return us, vs
+
+
+def sample_patch_grid(windows, base, centers, half: int):
+    """Bilinear patch samples from cached windows, SEPARABLE form.
+
+    Equivalent to `sample_windows(windows, base, centers + patch_offsets)`
+    but exploits that the grid is axis-aligned: every patch row shares v
+    and every column shares u, so the hat-weight operands are (N, P, win)
+    instead of (N, P*P, win) — 2*half-fold less weight traffic, and the
+    two 1-D passes are clean batched matmuls. This matters on TPU because
+    the win-sized lane dimension pads to 128: the flattened form moves
+    ~8x more HBM bytes than arithmetic requires.
+
+    windows (N, win, win); base (N, 2); centers (N, 2) absolute image
+    coords. Returns (N, P, P), rows indexed by v, columns by u.
+    """
+    us, vs = _axis_coords(windows, base, centers, half)
+    win = windows.shape[-1]
+    Wu = _hat_weights(us, win)                     # (N, P, win)
+    Wv = _hat_weights(vs, win)
+    Ty = jnp.einsum("npy,nyx->npx", Wv, windows)   # rows pass
+    return jnp.einsum("npx,nqx->npq", Ty, Wu)      # cols pass
+
+
+def sample_patch_grid_with_grad(windows, base, centers, half: int):
+    """Separable patch samples plus exact bilinear-surface gradients.
+
+    Returns (vals (N, P, P), gx (N, P, P), gy (N, P, P)). Gradients are
+    returned as separate planes rather than a stacked (..., 2) — a
+    trailing dim of 2 pads to a 128-lane tile on TPU (64x waste)."""
+    us, vs = _axis_coords(windows, base, centers, half)
+    win = windows.shape[-1]
+    Wu = _hat_weights(us, win)
+    Wv = _hat_weights(vs, win)
+    dWu = _hat_weights_grad(us, win)
+    dWv = _hat_weights_grad(vs, win)
+    Ty = jnp.einsum("npy,nyx->npx", Wv, windows)
+    vals = jnp.einsum("npx,nqx->npq", Ty, Wu)
+    gx = jnp.einsum("npx,nqx->npq", Ty, dWu)
+    Tdy = jnp.einsum("npy,nyx->npx", dWv, windows)
+    gy = jnp.einsum("npx,nqx->npq", Tdy, Wu)
+    return vals, gx, gy
+
+
 def gradient(img, uv, delta: float = 1.0):
     """Central-difference image gradient at uv (..., 2) -> (..., 2) [gx, gy].
 

@@ -69,32 +69,35 @@ def _align_level(imgs_ref, k_idx, uv_ref, img_cur, flow0, params: AlignParams):
     half = params.half_patch
     # Alignment shifts are gated at max_shift (~4 px): +-4 margin suffices.
     win = min(2 * half + 8, imgs_ref.shape[1], imgs_ref.shape[2], *img_cur.shape)
-    offs = sampling.patch_offsets(half, dtype=uv_ref.dtype)
-    uv_t = uv_ref[:, None, None, :] + offs[None]
     # Template value + gradient from one cached window per pair (indexed
-    # into the stacked keyframe set).
+    # into the stacked keyframe set); separable axis-aligned sampling.
     ref_win, ref_base = sampling.extract_windows_indexed(
         imgs_ref, k_idx, uv_ref, win
     )
-    T, g = sampling.sample_windows_with_grad(ref_win, ref_base, uv_t)
-    H = jnp.einsum("npqi,npqj->nij", g, g)
+    T, gx, gy = sampling.sample_patch_grid_with_grad(ref_win, ref_base, uv_ref, half)
+    # 2x2 normal matrix per pair, kept as scalar planes (a stacked
+    # (N, 2, 2) pads its unit lanes to 128 on TPU).
+    H00 = jnp.sum(gx * gx, axis=(-1, -2))
+    H01 = jnp.sum(gx * gy, axis=(-1, -2))
+    H11 = jnp.sum(gy * gy, axis=(-1, -2))
     # Current-image windows at the predicted positions (zero-gather loop).
     cur_win, cur_base = sampling.extract_windows(img_cur, uv_ref + flow0, win)
 
     def body(_, state):
         flow, best_flow, best_cost = state
-        I = sampling.sample_windows(cur_win, cur_base, uv_t + flow[:, None, None, :])
+        I = sampling.sample_patch_grid(cur_win, cur_base, uv_ref + flow, half)
         r = I - T
         cost = jnp.mean(r * r, axis=(-1, -2))
         improved = cost < best_cost
         best_flow = jnp.where(improved[:, None], flow, best_flow)
         best_cost = jnp.minimum(cost, best_cost)
-        b = jnp.einsum("npqi,npq->ni", g, r)
-        det = H[:, 0, 0] * H[:, 1, 1] - H[:, 0, 1] * H[:, 1, 0]
+        b0 = jnp.sum(gx * r, axis=(-1, -2))
+        b1 = jnp.sum(gy * r, axis=(-1, -2))
+        det = H00 * H11 - H01 * H01
         ok = jnp.abs(det) > params.min_det
         safe = jnp.where(ok, det, 1.0)
-        d0 = (H[:, 1, 1] * b[:, 0] - H[:, 0, 1] * b[:, 1]) / safe
-        d1 = (H[:, 0, 0] * b[:, 1] - H[:, 1, 0] * b[:, 0]) / safe
+        d0 = (H11 * b0 - H01 * b1) / safe
+        d1 = (H00 * b1 - H01 * b0) / safe
         delta = jnp.stack([d0, d1], axis=-1)
         delta = jnp.where(
             (ok & jnp.all(jnp.isfinite(delta), axis=-1))[:, None], delta, 0.0
@@ -103,7 +106,7 @@ def _align_level(imgs_ref, k_idx, uv_ref, img_cur, flow0, params: AlignParams):
 
     init = (flow0, flow0, jnp.full(uv_ref.shape[:1], jnp.inf, uv_ref.dtype))
     flow, best_flow, best_cost = jax.lax.fori_loop(0, params.iters, body, init)
-    I = sampling.sample_windows(cur_win, cur_base, uv_t + flow[:, None, None, :])
+    I = sampling.sample_patch_grid(cur_win, cur_base, uv_ref + flow, half)
     cost = jnp.mean((I - T) ** 2, axis=(-1, -2))
     improved = cost < best_cost
     best_flow = jnp.where(improved[:, None], flow, best_flow)

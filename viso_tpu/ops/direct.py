@@ -109,16 +109,20 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
     ref_ok = (d_ref > params.min_depth) & cam_mod.is_inside(
         uv_ref, H_img, W_img, border=half + 1
     ) & point_mask
-    offs = sampling.patch_offsets(half, dtype=uv_ref.dtype)
-    uv_patch_ref = uv_ref[:, None, None, :] + offs[None]
     ref_win, ref_base = sampling.extract_windows(img_ref, uv_ref, win)
-    T, gT = sampling.sample_windows_with_grad(ref_win, ref_base, uv_patch_ref)
+    T, gx, gy = sampling.sample_patch_grid_with_grad(
+        ref_win, ref_base, uv_ref, half
+    )
     Jpix = pixel_jacobian(p_ref, intr_l)                        # (N, 2, 6)
-    J = jnp.einsum("npqi,nij->npqj", gT, Jpix)                  # (N, P, P, 6)
-
     n_points = points_w.shape[0]
     patch_px = (2 * half) ** 2
-    Jf = J.reshape(n_points * patch_px, 6)
+    # Jacobian in (6, M) layout, M = N*P*P in the LANE dimension: the
+    # natural (M, 6) layout pads 6 -> 128 lanes and multiplies the GN
+    # loop's HBM traffic by ~20x.
+    J6 = (
+        gx[None] * Jpix[:, 0].T[:, :, None, None]
+        + gy[None] * Jpix[:, 1].T[:, :, None, None]
+    ).reshape(6, n_points * patch_px)
 
     # Current-image windows cached at the warm-start projection: the GN
     # loop then samples with zero gathers (see sampling.py fast path).
@@ -142,15 +146,14 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
             & in_win
         )
         ok = (ref_ok & cur_ok).astype(img_ref.dtype)  # (N,)
-        uv_patch = uv_cur[:, None, None, :] + offs[None]
-        I = sampling.sample_windows(cur_win, cur_base, uv_patch)
+        I = sampling.sample_patch_grid(cur_win, cur_base, uv_cur, half)
         r = I - T                                            # (N, P, P)
         w = _huber_weight(r, params.huber_delta) * ok[:, None, None]
         rf = r.reshape(n_points * patch_px)
         wf = w.reshape(n_points * patch_px)
-        Jw = Jf * wf[:, None]
-        H = Jw.T @ Jf                                        # (6,6) on MXU
-        b = -(Jw.T @ rf)                                     # (6,)
+        J6w = J6 * wf[None]                                  # (6, M)
+        H = J6w @ J6.T                                       # (6,6) on MXU
+        b = -(J6w @ rf)                                      # (6,)
         # A pose that pushes (almost) every point out of view must read
         # as terrible, not perfect: an unguarded masked mean returns 0
         # when no points are valid, which would win best-cost rollback.

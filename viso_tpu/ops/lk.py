@@ -58,31 +58,40 @@ def _single_level(img_ref, img_cur, kp_ref, flow0, params: LKParams):
     """
     half = params.half_patch
     win = min(4 * half + 8, *img_ref.shape)
-    offs = sampling.patch_offsets(half, dtype=kp_ref.dtype)  # (P, P, 2)
-    uv_ref = kp_ref[:, None, None, :] + offs[None]
-    # Template value + exact gradient from one cached window per feature.
+    # Template value + exact gradient from one cached window per feature
+    # (separable axis-aligned sampling; gradients as scalar planes).
     ref_win, ref_base = sampling.extract_windows(img_ref, kp_ref, win)
-    T, g = sampling.sample_windows_with_grad(ref_win, ref_base, uv_ref)
+    T, gx, gy = sampling.sample_patch_grid_with_grad(ref_win, ref_base, kp_ref, half)
     # Template Hessian, hoisted out of the loop (inverse-compositional,
     # ref viso.cpp:297-303 computes J from the *reference* image too).
-    H = jnp.einsum("npqi,npqj->nij", g, g)
-    n_px = (2 * half) ** 2
+    H00 = jnp.sum(gx * gx, axis=(-1, -2))
+    H01 = jnp.sum(gx * gy, axis=(-1, -2))
+    H11 = jnp.sum(gy * gy, axis=(-1, -2))
 
     # Current-image windows centered at the warm-start positions: the GN
     # loop samples from them with zero gathers (sampling.py fast path).
     cur_win, cur_base = sampling.extract_windows(img_cur, kp_ref + flow0, win)
 
+    def solve(b0, b1):
+        det = H00 * H11 - H01 * H01
+        ok = jnp.abs(det) > params.min_det
+        safe = jnp.where(ok, det, 1.0)
+        d0 = (H11 * b0 - H01 * b1) / safe
+        d1 = (H00 * b1 - H01 * b0) / safe
+        delta = jnp.stack([d0, d1], axis=-1)
+        return delta, ok
+
     def body(_, state):
         flow, best_flow, best_cost = state
-        uv_cur = uv_ref + flow[:, None, None, :]
-        I = sampling.sample_windows(cur_win, cur_base, uv_cur)
+        I = sampling.sample_patch_grid(cur_win, cur_base, kp_ref + flow, half)
         r = I - T
         cost = jnp.mean(r * r, axis=(-1, -2))
         improved = cost < best_cost
         best_flow = jnp.where(improved[:, None], flow, best_flow)
         best_cost = jnp.minimum(cost, best_cost)
-        b = jnp.einsum("npqi,npq->ni", g, r)
-        delta, ok = _solve2x2(H, b, params.min_det)
+        b0 = jnp.sum(gx * r, axis=(-1, -2))
+        b1 = jnp.sum(gy * r, axis=(-1, -2))
+        delta, ok = solve(b0, b1)
         delta = jnp.where(
             (ok & jnp.all(jnp.isfinite(delta), axis=-1))[:, None], delta, 0.0
         )
@@ -94,13 +103,11 @@ def _single_level(img_ref, img_cur, kp_ref, flow0, params: LKParams):
         0, params.iters, body, init, unroll=True
     )
     # Final candidate also competes for best (mirrors "apply then check").
-    uv_cur = uv_ref + flow[:, None, None, :]
-    r = sampling.sample_windows(cur_win, cur_base, uv_cur) - T
+    r = sampling.sample_patch_grid(cur_win, cur_base, kp_ref + flow, half) - T
     cost = jnp.mean(r * r, axis=(-1, -2))
     improved = cost < best_cost
     best_flow = jnp.where(improved[:, None], flow, best_flow)
     best_cost = jnp.minimum(cost, best_cost)
-    del n_px
     ok = best_cost < params.err_thresh
     return best_flow, best_cost, ok
 

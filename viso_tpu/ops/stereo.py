@@ -46,10 +46,8 @@ def match(img_left, img_right, kp_left, mask, params: StereoParams = StereoParam
     D = params.max_disparity
     H, W = img_left.shape
     N = kp_left.shape[0]
-    offs = sampling.patch_offsets(half, dtype=kp_left.dtype)          # (P,P,2)
-    uv_l = kp_left[:, None, None, :] + offs[None]                      # (N,P,P,2)
     lwin, lbase = sampling.extract_windows(img_left, kp_left, min(P + 4, H, W))
-    tmpl = sampling.sample_windows(lwin, lbase, uv_l)                  # (N,P,P)
+    tmpl = sampling.sample_patch_grid(lwin, lbase, kp_left, half)      # (N,P,P)
 
     # Right scanline strip covering disparities 0..D-1.
     WH = min(P + 4, H)

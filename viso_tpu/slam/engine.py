@@ -323,6 +323,13 @@ class BaseVO:
         self._last_tracked = ok_align
         pending = getattr(self, "_pending_stats", None)
         self._pending_stats = stats
+        # Kick off the device->host copy NOW; by the time next frame reads
+        # it, the bytes are already host-side (saves one ~30 ms tunnel RTT
+        # per frame vs a blocking np.asarray at read time).
+        try:
+            stats.copy_to_host_async()
+        except AttributeError:
+            pass
         if pending is not None:
             n_tracked, n_points = (int(v) for v in np.asarray(pending))
             self._n_points_cache = n_points
