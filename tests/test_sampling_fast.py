@@ -102,3 +102,46 @@ def test_patch_grid_with_grad_matches_flattened(rng):
     assert np.allclose(np.asarray(v), np.asarray(v_ref), atol=1e-4)
     assert np.allclose(np.asarray(gx), np.asarray(g_ref[..., 0]), atol=1e-3)
     assert np.allclose(np.asarray(gy), np.asarray(g_ref[..., 1]), atol=1e-3)
+
+
+def test_rectangular_windows_match_square(rng):
+    """Aligned over-copied (R, C) tiles (the Pallas DMA extractor's
+    output shape, geometry/extract_pallas.py) must sample identically to
+    the exact square windows wherever both cover the patch."""
+    H, W = 96, 160
+    img = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+    n = 64
+    centers = jnp.asarray(
+        np.stack([rng.uniform(12, W - 12, n), rng.uniform(12, H - 12, n)], -1)
+        .astype(np.float32)
+    )
+    win = 16
+    sq_win, sq_base = sampling.extract_windows(img, centers, win)
+    # Emulate the DMA tile: origin rounded down to (8, 32) alignment,
+    # extent grown to keep coverage.
+    R, C = 24, 64
+    bx = jnp.clip(sq_base[:, 0] & ~31, 0, W - C)
+    by = jnp.clip(sq_base[:, 1] & ~7, 0, H - R)
+    base = jnp.stack([bx, by], -1)
+
+    def one(b):
+        import jax
+
+        return jax.lax.dynamic_slice(img, (b[1], b[0]), (R, C))
+
+    import jax
+
+    rect_win = jax.vmap(one)(base)
+    for half in (3, 4):
+        v_sq = sampling.sample_patch_grid(sq_win, sq_base, centers, half)
+        v_rc = sampling.sample_patch_grid(rect_win, base, centers, half)
+        assert np.allclose(np.asarray(v_rc), np.asarray(v_sq), atol=1e-4)
+    v_sq, gx_s, gy_s = sampling.sample_patch_grid_with_grad(
+        sq_win, sq_base, centers, 4
+    )
+    v_rc, gx_r, gy_r = sampling.sample_patch_grid_with_grad(
+        rect_win, base, centers, 4
+    )
+    assert np.allclose(np.asarray(v_rc), np.asarray(v_sq), atol=1e-4)
+    assert np.allclose(np.asarray(gx_r), np.asarray(gx_s), atol=1e-3)
+    assert np.allclose(np.asarray(gy_r), np.asarray(gy_s), atol=1e-3)

@@ -192,32 +192,32 @@ def sample_windows(windows, base, uv):
     coords (P/Q arbitrary sample grid dims). Returns (N, P, Q).
     Coordinates outside a window are clamped to its border.
     """
-    win = windows.shape[-1]
+    rows, win = windows.shape[-2], windows.shape[-1]
     n, P, Q = uv.shape[0], uv.shape[1], uv.shape[2]
     us = jnp.clip(uv[..., 0] - base[:, None, None, 0], 0.0, win - 1.0)
-    vs = jnp.clip(uv[..., 1] - base[:, None, None, 1], 0.0, win - 1.0)
+    vs = jnp.clip(uv[..., 1] - base[:, None, None, 1], 0.0, rows - 1.0)
     # Separable: rows of the sample grid share v per row and u per column
     # only for axis-aligned grids; keep it general with flattened samples.
     us_f = us.reshape(n, P * Q)
     vs_f = vs.reshape(n, P * Q)
     Wx = _hat_weights(us_f, win)
-    Wy = _hat_weights(vs_f, win)
+    Wy = _hat_weights(vs_f, rows)
     vals = jnp.einsum("nsy,nyx,nsx->ns", Wy, windows, Wx)
     return vals.reshape(n, P, Q)
 
 
 def sample_windows_with_grad(windows, base, uv):
     """Samples + exact bilinear-surface gradients from cached windows."""
-    win = windows.shape[-1]
+    rows, win = windows.shape[-2], windows.shape[-1]
     n, P, Q = uv.shape[0], uv.shape[1], uv.shape[2]
     us = jnp.clip(uv[..., 0] - base[:, None, None, 0], 0.0, win - 1.0)
-    vs = jnp.clip(uv[..., 1] - base[:, None, None, 1], 0.0, win - 1.0)
+    vs = jnp.clip(uv[..., 1] - base[:, None, None, 1], 0.0, rows - 1.0)
     us_f = us.reshape(n, P * Q)
     vs_f = vs.reshape(n, P * Q)
     Wx = _hat_weights(us_f, win)
-    Wy = _hat_weights(vs_f, win)
+    Wy = _hat_weights(vs_f, rows)
     dWx = _hat_weights_grad(us_f, win)
-    dWy = _hat_weights_grad(vs_f, win)
+    dWy = _hat_weights_grad(vs_f, rows)
     Ty = jnp.einsum("nsy,nyx->nsx", Wy, windows)     # shared row pass
     vals = jnp.einsum("nsx,nsx->ns", Ty, Wx)
     gx = jnp.einsum("nsx,nsx->ns", Ty, dWx)
@@ -233,11 +233,13 @@ def _axis_coords(windows, base, centers, half):
 
     Returns (us (N, P), vs (N, P)) clamped to the window, P = 2*half —
     identical per-axis clamping to `sample_windows` on the same grid.
+    Windows may be rectangular (rows != cols), e.g. the 8-row-aligned
+    over-copies produced by the Pallas DMA extractor.
     """
-    win = windows.shape[-1]
+    rows, win = windows.shape[-2], windows.shape[-1]
     r = jnp.arange(-half, half, dtype=centers.dtype)
     us = jnp.clip(centers[:, 0:1] - base[:, 0:1] + r[None], 0.0, win - 1.0)
-    vs = jnp.clip(centers[:, 1:2] - base[:, 1:2] + r[None], 0.0, win - 1.0)
+    vs = jnp.clip(centers[:, 1:2] - base[:, 1:2] + r[None], 0.0, rows - 1.0)
     return us, vs
 
 
@@ -256,9 +258,9 @@ def sample_patch_grid(windows, base, centers, half: int):
     coords. Returns (N, P, P), rows indexed by v, columns by u.
     """
     us, vs = _axis_coords(windows, base, centers, half)
-    win = windows.shape[-1]
+    rows, win = windows.shape[-2], windows.shape[-1]
     Wu = _hat_weights(us, win)                     # (N, P, win)
-    Wv = _hat_weights(vs, win)
+    Wv = _hat_weights(vs, rows)
     Ty = jnp.einsum("npy,nyx->npx", Wv, windows)   # rows pass
     return jnp.einsum("npx,nqx->npq", Ty, Wu)      # cols pass
 
@@ -270,11 +272,11 @@ def sample_patch_grid_with_grad(windows, base, centers, half: int):
     returned as separate planes rather than a stacked (..., 2) — a
     trailing dim of 2 pads to a 128-lane tile on TPU (64x waste)."""
     us, vs = _axis_coords(windows, base, centers, half)
-    win = windows.shape[-1]
+    rows, win = windows.shape[-2], windows.shape[-1]
     Wu = _hat_weights(us, win)
-    Wv = _hat_weights(vs, win)
+    Wv = _hat_weights(vs, rows)
     dWu = _hat_weights_grad(us, win)
-    dWv = _hat_weights_grad(vs, win)
+    dWv = _hat_weights_grad(vs, rows)
     Ty = jnp.einsum("npy,nyx->npx", Wv, windows)
     vals = jnp.einsum("npx,nqx->npq", Ty, Wu)
     gx = jnp.einsum("npx,nqx->npq", Ty, dWu)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from viso_tpu.geometry import camera as cam_mod
-from viso_tpu.geometry import sampling, se3
+from viso_tpu.geometry import extract_pallas, sampling, se3
 
 
 class AlignParams(NamedTuple):
@@ -71,7 +71,7 @@ def _align_level(imgs_ref, k_idx, uv_ref, img_cur, flow0, params: AlignParams):
     win = min(2 * half + 8, imgs_ref.shape[1], imgs_ref.shape[2], *img_cur.shape)
     # Template value + gradient from one cached window per pair (indexed
     # into the stacked keyframe set); separable axis-aligned sampling.
-    ref_win, ref_base = sampling.extract_windows_indexed(
+    ref_win, ref_base = extract_pallas.extract_windows_indexed_fast(
         imgs_ref, k_idx, uv_ref, win
     )
     T, gx, gy = sampling.sample_patch_grid_with_grad(ref_win, ref_base, uv_ref, half)
@@ -81,7 +81,9 @@ def _align_level(imgs_ref, k_idx, uv_ref, img_cur, flow0, params: AlignParams):
     H01 = jnp.sum(gx * gy, axis=(-1, -2))
     H11 = jnp.sum(gy * gy, axis=(-1, -2))
     # Current-image windows at the predicted positions (zero-gather loop).
-    cur_win, cur_base = sampling.extract_windows(img_cur, uv_ref + flow0, win)
+    cur_win, cur_base = extract_pallas.extract_windows_fast(
+        img_cur, uv_ref + flow0, win
+    )
 
     def body(_, state):
         flow, best_flow, best_cost = state

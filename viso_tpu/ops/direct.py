@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from viso_tpu.geometry import camera as cam_mod
-from viso_tpu.geometry import sampling, se3
+from viso_tpu.geometry import extract_pallas, sampling, se3
 
 
 class DirectParams(NamedTuple):
@@ -109,7 +109,7 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
     ref_ok = (d_ref > params.min_depth) & cam_mod.is_inside(
         uv_ref, H_img, W_img, border=half + 1
     ) & point_mask
-    ref_win, ref_base = sampling.extract_windows(img_ref, uv_ref, win)
+    ref_win, ref_base = extract_pallas.extract_windows_fast(img_ref, uv_ref, win)
     T, gx, gy = sampling.sample_patch_grid_with_grad(
         ref_win, ref_base, uv_ref, half
     )
@@ -128,7 +128,11 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
     # loop then samples with zero gathers (see sampling.py fast path).
     p0 = se3.transform(R0, t0, points_w)
     uv0, _ = cam_mod.project(p0, intr_l)
-    cur_win, cur_base = sampling.extract_windows(img_cur, uv0, win)
+    cur_win, cur_base = extract_pallas.extract_windows_fast(img_cur, uv0, win)
+    # Window extent per axis (rectangular on the TPU DMA path).
+    win_uv = jnp.asarray(
+        [cur_win.shape[-1], cur_win.shape[-2]], img_cur.dtype
+    )
 
     def compute_b(R, t):
         p_cur = se3.transform(R, t, points_w)
@@ -137,7 +141,7 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
         # center drifting near the window edge as invalid.
         in_win = jnp.all(
             (uv_cur - cur_base >= half + 1)
-            & (uv_cur - cur_base <= win - half - 2),
+            & (uv_cur - cur_base <= win_uv - half - 2),
             axis=-1,
         )
         cur_ok = (

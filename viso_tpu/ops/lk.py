@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from viso_tpu.geometry import sampling
+from viso_tpu.geometry import extract_pallas, sampling
 from viso_tpu.ops import pyramid as pyr_mod
 
 
@@ -60,7 +60,7 @@ def _single_level(img_ref, img_cur, kp_ref, flow0, params: LKParams):
     win = min(4 * half + 8, *img_ref.shape)
     # Template value + exact gradient from one cached window per feature
     # (separable axis-aligned sampling; gradients as scalar planes).
-    ref_win, ref_base = sampling.extract_windows(img_ref, kp_ref, win)
+    ref_win, ref_base = extract_pallas.extract_windows_fast(img_ref, kp_ref, win)
     T, gx, gy = sampling.sample_patch_grid_with_grad(ref_win, ref_base, kp_ref, half)
     # Template Hessian, hoisted out of the loop (inverse-compositional,
     # ref viso.cpp:297-303 computes J from the *reference* image too).
@@ -70,7 +70,9 @@ def _single_level(img_ref, img_cur, kp_ref, flow0, params: LKParams):
 
     # Current-image windows centered at the warm-start positions: the GN
     # loop samples from them with zero gathers (sampling.py fast path).
-    cur_win, cur_base = sampling.extract_windows(img_cur, kp_ref + flow0, win)
+    cur_win, cur_base = extract_pallas.extract_windows_fast(
+        img_cur, kp_ref + flow0, win
+    )
 
     def solve(b0, b1):
         det = H00 * H11 - H01 * H01

@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from viso_tpu.geometry import sampling
+from viso_tpu.geometry import extract_pallas, sampling
 
 
 class StereoParams(NamedTuple):
@@ -46,7 +46,9 @@ def match(img_left, img_right, kp_left, mask, params: StereoParams = StereoParam
     D = params.max_disparity
     H, W = img_left.shape
     N = kp_left.shape[0]
-    lwin, lbase = sampling.extract_windows(img_left, kp_left, min(P + 4, H, W))
+    lwin, lbase = extract_pallas.extract_windows_fast(
+        img_left, kp_left, min(P + 4, H, W)
+    )
     tmpl = sampling.sample_patch_grid(lwin, lbase, kp_left, half)      # (N,P,P)
 
     # Right scanline strip covering disparities 0..D-1.
@@ -57,10 +59,11 @@ def match(img_left, img_right, kp_left, mask, params: StereoParams = StereoParam
     bx = jnp.clip(jnp.floor(u).astype(jnp.int32) - (D - 1) - half - 1, 0, W - WW)
     by = jnp.clip(jnp.floor(v).astype(jnp.int32) - half - 2, 0, H - WH)
 
-    def slice_one(b):
-        return jax.lax.dynamic_slice(img_right, (b[1], b[0]), (WH, WW))
-
-    rwin = jax.vmap(slice_one)(jnp.stack([bx, by], axis=-1))           # (N,WH,WW)
+    rwin, rbase = extract_pallas.extract_rects_fast(
+        img_right, jnp.stack([bx, by], axis=-1), WH, WW
+    )                                                                   # (N,RH,RW)
+    RH, RW = rwin.shape[-2], rwin.shape[-1]
+    bx, by = rbase[:, 0], rbase[:, 1]
     # Resample the strip once onto the keypoint's fractional grid:
     # rows v-half..v+half-1, cols u-(D-1)-half..u+half-1.
     S = D + P - 1
@@ -68,8 +71,8 @@ def match(img_left, img_right, kp_left, mask, params: StereoParams = StereoParam
     cols = (
         u[:, None] - (D - 1) - half + jnp.arange(S, dtype=u.dtype)[None]
     )                                                                   # (N,S)
-    Wy = sampling._hat_weights(rows - by[:, None].astype(v.dtype), WH)  # (N,P,WH)
-    Wx = sampling._hat_weights(cols - bx[:, None].astype(u.dtype), WW)  # (N,S,WW)
+    Wy = sampling._hat_weights(rows - by[:, None].astype(v.dtype), RH)  # (N,P,RH)
+    Wx = sampling._hat_weights(cols - bx[:, None].astype(u.dtype), RW)  # (N,S,RW)
     strip = jnp.einsum("npy,nyx,nsx->nps", Wy, rwin, Wx)                # (N,P,S)
     # SSD for disparity d = mean over the patch of (strip slice - tmpl)^2;
     # the slice start is D-1-d (all static slices).
