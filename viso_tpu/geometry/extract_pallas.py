@@ -56,43 +56,50 @@ def _cols_for(w: int) -> int:
     return (w + 254) & ~127     # >= w+127, multiple of 128
 
 
-def _pick_block(rows: int, cols: int, itemsize: int) -> int:
-    # Keep the (K, rows, cols) output block under ~4 MB of VMEM (the
-    # pipeline double-buffers it). K also allocates K DMA semaphores:
-    # sflag space is 2 KB total (256 sems) and the pipeline itself needs
-    # a few, so 256 does not fit — cap at 128.
-    budget = 4 * 1024 * 1024
-    for cand in (128, 64, 32):
-        if cand * rows * cols * itemsize <= budget:
-            return cand
-    return 0  # no viable block -> caller falls back to the gather path
+# DMA semaphore slots: sflag space is 2 KB total (256 sems) and the
+# surrounding machinery needs a few, so cap well below that.
+_SEMS = 128
 
 
-def _kernel(rows, cols, K, indexed, base_ref, img_ref, out_ref, sems):
+def _kernel(rows, cols, total, indexed, base_ref, img_ref, out_ref, sems):
+    """Single-invocation kernel: issue one HBM->HBM copy per feature,
+    recycling _SEMS semaphore slots in a sliding wave. No VMEM staging:
+    the DMA engines write the output tiles directly."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    i = pl.program_id(0)
-
-    def src(j):
-        x0 = pl.multiple_of(base_ref[i * K + j, 0], 128)
-        y0 = pl.multiple_of(base_ref[i * K + j, 1], 8)
+    # base_ref is FLAT 1-D (stride 3): a 2-D (N, 3) scalar operand would
+    # be lane-padded to (N, 128) in SMEM — 1 MB at N=2048, the whole
+    # SMEM budget.
+    def copy(j, slot):
+        x0 = pl.multiple_of(base_ref[3 * j], 128)
+        y0 = pl.multiple_of(base_ref[3 * j + 1], 8)
         if indexed:
-            k = base_ref[i * K + j, 2]
-            return img_ref.at[k, pl.ds(y0, rows), pl.ds(x0, cols)]
-        return img_ref.at[pl.ds(y0, rows), pl.ds(x0, cols)]
+            k = base_ref[3 * j + 2]
+            src = img_ref.at[k, pl.ds(y0, rows), pl.ds(x0, cols)]
+        else:
+            src = img_ref.at[pl.ds(y0, rows), pl.ds(x0, cols)]
+        return pltpu.make_async_copy(src, out_ref.at[j], sems.at[slot])
 
     def issue(j, _):
-        pltpu.make_async_copy(src(j), out_ref.at[j], sems.at[j]).start()
+        slot = jax.lax.rem(j, _SEMS)
+
+        @pl.when(j >= _SEMS)
+        def _():
+            copy(j - _SEMS, slot).wait()
+
+        copy(j, slot).start()
         return 0
 
-    jax.lax.fori_loop(0, K, issue, 0)
+    jax.lax.fori_loop(0, total, issue, 0)
 
-    def wait(j, _):
-        pltpu.make_async_copy(src(j), out_ref.at[j], sems.at[j]).wait()
+    first = max(0, total - _SEMS)
+
+    def drain(j, _):
+        copy(j, jax.lax.rem(j, _SEMS)).wait()
         return 0
 
-    jax.lax.fori_loop(0, K, wait, 0)
+    jax.lax.fori_loop(first, total, drain, 0)
 
 
 def _dma_extract(img, base, h: int, w: int, k=None):
@@ -109,18 +116,6 @@ def _dma_extract(img, base, h: int, w: int, k=None):
     H, W = img.shape[-2], img.shape[-1]
     N = base.shape[0]
     rows, cols = _rows_for(h), _cols_for(w)
-    K = _pick_block(rows, cols, img.dtype.itemsize)
-    if K == 0:
-        return None
-    # Pad the feature count to a block multiple (extra windows copy the
-    # image origin; callers slice them away via the returned count).
-    Np = -(-N // K) * K
-    if Np != N:
-        base = jnp.concatenate(
-            [base, jnp.zeros((Np - N, 2), base.dtype)], axis=0
-        )
-        if k is not None:
-            k = jnp.concatenate([k, jnp.zeros(Np - N, k.dtype)], axis=0)
     Hp = max((H + 7) & ~7, rows)
     Wp = max((W + 127) & ~127, cols)
     if (Hp, Wp) != (H, W):
@@ -130,26 +125,24 @@ def _dma_extract(img, base, h: int, w: int, k=None):
     bx = jnp.clip(base[:, 0] & ~127, 0, Wp - cols)
     by = jnp.clip(base[:, 1] & ~7, 0, Hp - rows)
     aligned = jnp.stack([bx, by], axis=-1)
-    sbase = aligned if k is None else jnp.concatenate(
-        [aligned, k.astype(jnp.int32)[:, None]], axis=-1
+    kcol = (
+        jnp.zeros(N, jnp.int32) if k is None else k.astype(jnp.int32)
     )
+    sbase = jnp.stack([bx, by, kcol], axis=-1).reshape(-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Np // K,),
+        grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (K, rows, cols), lambda i, sbase: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((K,))],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_SEMS,))],
     )
     out = pl.pallas_call(
-        partial(_kernel, rows, cols, K, indexed),
-        out_shape=jax.ShapeDtypeStruct((Np, rows, cols), img.dtype),
+        partial(_kernel, rows, cols, N, indexed),
+        out_shape=jax.ShapeDtypeStruct((N, rows, cols), img.dtype),
         grid_spec=grid_spec,
     )(sbase, img)
-    return out[:N], aligned[:N]
+    return out, aligned
 
 
 def _centered_base(img_hw, centers, win: int):

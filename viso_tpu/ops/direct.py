@@ -109,12 +109,29 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
     ref_ok = (d_ref > params.min_depth) & cam_mod.is_inside(
         uv_ref, H_img, W_img, border=half + 1
     ) & point_mask
-    ref_win, ref_base = extract_pallas.extract_windows_fast(img_ref, uv_ref, win)
+    n_points = points_w.shape[0]
+
+    # Template (reference) and warm-start (current) windows in ONE
+    # Pallas DMA launch: both images stacked, 2N copies issued together.
+    # The current windows let the GN loop sample with zero gathers
+    # (sampling.py fast path).
+    p0 = se3.transform(R0, t0, points_w)
+    uv0, _ = cam_mod.project(p0, intr_l)
+    win2, base2 = extract_pallas.extract_windows_indexed_fast(
+        jnp.stack([img_ref, img_cur]),
+        jnp.concatenate(
+            [jnp.zeros(n_points, jnp.int32), jnp.ones(n_points, jnp.int32)]
+        ),
+        jnp.concatenate([uv_ref, uv0]),
+        win,
+    )
+    ref_win, cur_win = win2[:n_points], win2[n_points:]
+    ref_base, cur_base = base2[:n_points], base2[n_points:]
+
     T, gx, gy = sampling.sample_patch_grid_with_grad(
         ref_win, ref_base, uv_ref, half
     )
     Jpix = pixel_jacobian(p_ref, intr_l)                        # (N, 2, 6)
-    n_points = points_w.shape[0]
     patch_px = (2 * half) ** 2
     # Jacobian in (6, M) layout, M = N*P*P in the LANE dimension: the
     # natural (M, 6) layout pads 6 -> 128 lanes and multiplies the GN
@@ -123,12 +140,6 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
         gx[None] * Jpix[:, 0].T[:, :, None, None]
         + gy[None] * Jpix[:, 1].T[:, :, None, None]
     ).reshape(6, n_points * patch_px)
-
-    # Current-image windows cached at the warm-start projection: the GN
-    # loop then samples with zero gathers (see sampling.py fast path).
-    p0 = se3.transform(R0, t0, points_w)
-    uv0, _ = cam_mod.project(p0, intr_l)
-    cur_win, cur_base = extract_pallas.extract_windows_fast(img_cur, uv0, win)
     # Window extent per axis (rectangular on the TPU DMA path).
     win_uv = jnp.asarray(
         [cur_win.shape[-1], cur_win.shape[-2]], img_cur.dtype
@@ -220,10 +231,18 @@ def estimate_pose(
     """
     R, t = R0, t0
     cost = jnp.asarray(jnp.inf, points_w.dtype)
-    for level in range(len(pyr_ref) - 1, -1, -1):
+    levels = min(params.levels, len(pyr_ref))
+    for level in range(levels - 1, -1, -1):
         intr_l = intr.at_level(level)
+        # Coarse levels exist to absorb large motion, not to average
+        # noise: a quarter of the points over-determines the 6-DoF pose
+        # there, and per-point window DMAs are the level's main cost.
+        if level >= 2 and points_w.shape[0] >= 512:
+            pts_l, mask_l = points_w[::4], point_mask[::4]
+        else:
+            pts_l, mask_l = points_w, point_mask
         R, t, cost = _level_pass(
-            pyr_ref[level], pyr_cur[level], points_w, point_mask,
+            pyr_ref[level], pyr_cur[level], pts_l, mask_l,
             R_ref, t_ref, R, t, intr_l, params,
         )
     return R, t, cost
