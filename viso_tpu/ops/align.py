@@ -69,21 +69,27 @@ def _align_level(imgs_ref, k_idx, uv_ref, img_cur, flow0, params: AlignParams):
     half = params.half_patch
     # Alignment shifts are gated at max_shift (~4 px): +-4 margin suffices.
     win = min(2 * half + 8, imgs_ref.shape[1], imgs_ref.shape[2], *img_cur.shape)
-    # Template value + gradient from one cached window per pair (indexed
-    # into the stacked keyframe set); separable axis-aligned sampling.
-    ref_win, ref_base = extract_pallas.extract_windows_indexed_fast(
-        imgs_ref, k_idx, uv_ref, win
+    # Template (from each pair's reference keyframe) and current-frame
+    # windows in ONE indexed DMA launch: the current image rides as one
+    # more entry of the stacked image set. Separable axis-aligned
+    # sampling against the cached windows keeps the GN loop gather-free.
+    n = uv_ref.shape[0]
+    K = imgs_ref.shape[0]
+    imgs_all = jnp.concatenate([imgs_ref, img_cur[None]], axis=0)
+    win2, base2 = extract_pallas.extract_windows_indexed_fast(
+        imgs_all,
+        jnp.concatenate([k_idx.astype(jnp.int32), jnp.full(n, K, jnp.int32)]),
+        jnp.concatenate([uv_ref, uv_ref + flow0]),
+        win,
     )
+    ref_win, cur_win = win2[:n], win2[n:]
+    ref_base, cur_base = base2[:n], base2[n:]
     T, gx, gy = sampling.sample_patch_grid_with_grad(ref_win, ref_base, uv_ref, half)
     # 2x2 normal matrix per pair, kept as scalar planes (a stacked
     # (N, 2, 2) pads its unit lanes to 128 on TPU).
     H00 = jnp.sum(gx * gx, axis=(-1, -2))
     H01 = jnp.sum(gx * gy, axis=(-1, -2))
     H11 = jnp.sum(gy * gy, axis=(-1, -2))
-    # Current-image windows at the predicted positions (zero-gather loop).
-    cur_win, cur_base = extract_pallas.extract_windows_fast(
-        img_cur, uv_ref + flow0, win
-    )
 
     def body(_, state):
         flow, best_flow, best_cost = state

@@ -58,21 +58,24 @@ def _single_level(img_ref, img_cur, kp_ref, flow0, params: LKParams):
     """
     half = params.half_patch
     win = min(4 * half + 8, *img_ref.shape)
-    # Template value + exact gradient from one cached window per feature
-    # (separable axis-aligned sampling; gradients as scalar planes).
-    ref_win, ref_base = extract_pallas.extract_windows_fast(img_ref, kp_ref, win)
+    # Template (ref image) and warm-start (cur image) windows in ONE
+    # indexed DMA launch; the GN loop then samples from the cached
+    # windows with zero gathers (sampling.py fast path).
+    n = kp_ref.shape[0]
+    win2, base2 = extract_pallas.extract_windows_indexed_fast(
+        jnp.stack([img_ref, img_cur]),
+        jnp.concatenate([jnp.zeros(n, jnp.int32), jnp.ones(n, jnp.int32)]),
+        jnp.concatenate([kp_ref, kp_ref + flow0]),
+        win,
+    )
+    ref_win, cur_win = win2[:n], win2[n:]
+    ref_base, cur_base = base2[:n], base2[n:]
     T, gx, gy = sampling.sample_patch_grid_with_grad(ref_win, ref_base, kp_ref, half)
     # Template Hessian, hoisted out of the loop (inverse-compositional,
     # ref viso.cpp:297-303 computes J from the *reference* image too).
     H00 = jnp.sum(gx * gx, axis=(-1, -2))
     H01 = jnp.sum(gx * gy, axis=(-1, -2))
     H11 = jnp.sum(gy * gy, axis=(-1, -2))
-
-    # Current-image windows centered at the warm-start positions: the GN
-    # loop samples from them with zero gathers (sampling.py fast path).
-    cur_win, cur_base = extract_pallas.extract_windows_fast(
-        img_cur, kp_ref + flow0, win
-    )
 
     def solve(b0, b1):
         det = H00 * H11 - H01 * H01

@@ -247,11 +247,14 @@ class BaseVO:
                 m.kf_pyr, k_idx_a, uv_ref, pyr, uv_pred, visible & has_obs
             )
             x_ref = cam_mod.normalize(refined_a, intr)
+            # 4 LM iterations: the warm start is the converged direct
+            # pose, so the reprojection refinement is near-linear; each
+            # iteration costs a fixed ~0.3 ms of op-dispatch latency.
             R_f, t_f = pnp.refine_pose(
                 R_d, t_d, pts_a, x_ref,
                 ok_a.astype(jnp.float32),
                 huber=cfg.ransac_threshold_px / cfg.fx,
-                iters=8,
+                iters=4,
             )
             n_tracked = jnp.sum(ok_a)
             use_refined = n_tracked >= cfg.min_tracked_points
