@@ -240,11 +240,18 @@ def _lm_iteration(
 
     # Block normal equations; every contraction keeps L (and the obs row
     # index) as the reduced axes so the intermediates stay L-minor.
+    # The point-block terms are kept as per-column SLABS — W_k = W[:, :, k]
+    # of shape (C, 6, L) — because a materialized (C, 6, 3, L) array pads
+    # its sublane dim 3 -> 8 (2.7x traffic) and forces XLA to lower the
+    # Schur contraction as loops instead of three big MXU matmuls.
     Jc_w = Jc * w[:, None, None]
     U = jnp.einsum("cail,cajl->cij", Jc_w, Jc)
     Jp_w = Jp * w[:, None, None]
     V = jnp.einsum("cail,cajl->ijl", Jp_w, Jp)          # (3, 3, L)
-    W = jnp.einsum("cail,cajl->cijl", Jc_w, Jp)         # (C, 6, 3, L)
+    W = [
+        Jc_w[:, 0] * Jp[:, 0, k][:, None] + Jc_w[:, 1] * Jp[:, 1, k][:, None]
+        for k in range(3)
+    ]                                                   # 3 x (C, 6, L)
     g_c = -jnp.einsum("cail,cal->ci", Jc_w, r)
     g_p = -jnp.einsum("cail,cal->il", Jp_w, r)          # (3, L)
     if axis_name is not None:
@@ -258,11 +265,19 @@ def _lm_iteration(
     V_d = V + (lam * trV) * jnp.eye(3, dtype=r.dtype)[:, :, None]
 
     # Marginalize landmarks (Schur): batched closed-form 3x3 inverses on
-    # (3, 3, L) planes.
+    # (3, 3, L) planes; Y = W V^-1 built slab-by-slab, and the Schur
+    # cross term -Y W^T reduced as three (6C, L) x (L, 6C) MXU matmuls.
     V_inv = _inv3x3_planes(V_d) * prob.point_mask[None, None, :]
-    Y = jnp.einsum("cijl,jkl->cikl", W, V_inv)          # (C, 6, 3, L)
-    S_cross = -jnp.einsum("cikl,djkl->cdij", Y, W)
-    b_cross = jnp.einsum("cikl,kl->ci", Y, g_p)
+    Y = [
+        sum(W[k] * V_inv[k, j][None, None] for k in range(3))
+        for j in range(3)
+    ]                                                   # 3 x (C, 6, L)
+    S_cross = -sum(
+        jnp.einsum("cil,djl->cdij", Y[j], W[j]) for j in range(3)
+    )
+    b_cross = jnp.stack(
+        [jnp.einsum("cil,l->ci", Y[j], g_p[j]) for j in range(3)]
+    ).sum(0)
     if axis_name is not None:
         # Only the (6C)^2 + 6C reduced system crosses the interconnect.
         S_cross = jax.lax.psum(S_cross, axis_name)
@@ -288,7 +303,9 @@ def _lm_iteration(
     delta_c = jnp.where(jnp.isfinite(delta_c), delta_c, 0.0) * free_f[:, None]
 
     # Back-substitute landmark updates (all (., L)-plane arithmetic).
-    rhs = g_p - jnp.einsum("cijl,ci->jl", W, delta_c)   # (3, L)
+    rhs = g_p - jnp.stack(
+        [jnp.einsum("cil,ci->l", W[j], delta_c) for j in range(3)]
+    )                                                   # (3, L)
     delta_p = jnp.einsum("ijl,jl->il", V_inv, rhs)      # (3, L)
     delta_p = jnp.where(jnp.isfinite(delta_p), delta_p, 0.0)
     delta_p = delta_p * prob.point_mask[None, :]
