@@ -82,6 +82,16 @@ class VOConfig:
     kf_min_gap: int = 3
     kf_max_gap: int = 20
     kf_min_visible_frac: float = 0.6
+    # Frames of staleness for the on-device tracking stats before the
+    # host reads them. Over a remote-attached chip (~25-30 ms RTT) the
+    # device->host copy launched N frames ago must have landed by read
+    # time or the read stalls the dispatch loop; 2 frames covers one RTT
+    # at < ~15 ms/frame throughput. MUST stay < kf_min_gap: for
+    # `stats_delay` frames after a keyframe insert the readings still
+    # reflect the pre-insert map, and only the min-gap guard stops them
+    # from re-triggering inserts (measured: delay 3 with gap 3 collapses
+    # throughput 10x in repeated KF+BA).
+    stats_delay: int = 2
 
     # Backend
     ba_iters: int = 8
@@ -324,21 +334,24 @@ class BaseVO:
         self.prev_R, self.prev_t = self.R, self.t
         self.R, self.t = R_new, t_new
         self._last_tracked = ok_align
-        pending = getattr(self, "_pending_stats", None)
-        self._pending_stats = stats
-        # Kick off the device->host copy NOW; by the time next frame reads
-        # it, the bytes are already host-side (saves one ~30 ms tunnel RTT
-        # per frame vs a blocking np.asarray at read time).
+        # Kick off the device->host copy NOW; by the time this frame's
+        # stats are read `stats_delay` frames later, the bytes are already
+        # host-side (a blocking np.asarray at read time costs one ~30 ms
+        # tunnel RTT per frame).
         try:
             stats.copy_to_host_async()
         except AttributeError:
             pass
-        if pending is not None:
-            n_tracked, n_points = (int(v) for v in np.asarray(pending))
+        q = getattr(self, "_pending_stats_q", None)
+        if q is None:
+            q = self._pending_stats_q = []
+        q.append(stats)
+        if len(q) > max(1, self.cfg.stats_delay):
+            n_tracked, n_points = (int(v) for v in np.asarray(q.pop(0)))
             self._n_points_cache = n_points
         else:
-            # First tracking frame: be optimistic (no KF / lost decisions
-            # should fire off a single missing sample).
+            # Pipeline still filling: be optimistic (no KF / lost decisions
+            # should fire off the first missing samples).
             n_tracked = self.cfg.num_features
         return ok_align, refined, n_tracked, pyr
 
