@@ -40,6 +40,10 @@ def build_engine(seq, args):
         max_keyframes=args.max_keyframes,
         fast_threshold=args.fast_threshold,
     )
+    if args.init_disparity_px:
+        cfg = dataclasses.replace(
+            cfg, disparity_squared_thresh=args.init_disparity_px ** 2
+        )
     if args.mode == "mono":
         return MonocularVO(cfg)
     if args.mode == "stereo":
@@ -61,6 +65,10 @@ def main(argv=None):
     ap.add_argument("--max-landmarks", type=int, default=2048)
     ap.add_argument("--max-keyframes", type=int, default=8)
     ap.add_argument("--fast-threshold", type=float, default=20.0)
+    # Two-view init disparity gate in px (reference: 15, viso.h:24 —
+    # tuned for lateral motion; forward-dominant sequences need ~5).
+    # 0 = keep the config default.
+    ap.add_argument("--init-disparity-px", type=float, default=0.0)
     ap.add_argument("--height", type=int, default=0)
     ap.add_argument("--width", type=int, default=0)
     ap.add_argument("--out-dir", default="out")
@@ -99,6 +107,10 @@ def main(argv=None):
         scene = synthetic.corridor_scene(rng)
         n = args.max_frames or 30
         Rs, ts = synthetic.forward_trajectory(n, step=0.4)
+        if args.mode == "mono" and not args.init_disparity_px:
+            # Forward motion yields small radial flow; the reference's
+            # 15 px lateral-motion gate would never accept an init here.
+            args.init_disparity_px = 5.0
 
         def gen():
             for i, (R, t) in enumerate(zip(Rs, ts)):
