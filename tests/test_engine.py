@@ -74,6 +74,25 @@ def test_stereo_vo_tracks_trajectory(corridor):
     assert min(tracked) > 30
 
 
+def test_stereo_vo_photometric_backend(corridor):
+    # The reference's stated backend intent: window BA on 16-dim 4x4-patch
+    # photometric residuals (bundle_adjuster.h:58-106) instead of
+    # reprojection. Same pipeline must still track metrically.
+    n = 12
+    frames, (Rs, ts) = render_forward(corridor, n, stereo=True)
+    vo = StereoVO(small_config(ba_backend="photometric", photo_ba_level=1))
+    for il, ir in frames:
+        vo.process(il, ir)
+    R_est, t_est = vo.trajectory()
+    c_est = metrics.camera_centers(R_est, t_est)
+    c_gt = metrics.camera_centers(Rs, ts)
+    ate = metrics.ate_rmse(c_est, c_gt, align=True, with_scale=False)
+    assert ate < 0.08, ate
+    d_est = np.linalg.norm(c_est[-1] - c_est[0])
+    d_gt = np.linalg.norm(c_gt[-1] - c_gt[0])
+    assert abs(d_est / d_gt - 1.0) < 0.08
+
+
 def test_stereo_vo_keyframes_and_landmarks(corridor):
     frames, _ = render_forward(corridor, 8, stereo=True)
     vo = StereoVO(small_config())

@@ -258,16 +258,51 @@ def _lm_iteration(
         U = jax.lax.psum(U, axis_name)
         g_c = jax.lax.psum(g_c, axis_name)
 
+    # Gauge/freeze mask: first num_fixed cameras, explicit cam_fixed
+    # slots, and unused slots.
+    free = prob.cam_mask & (jnp.arange(C) >= params.num_fixed)
+    if prob.cam_fixed is not None:
+        free = free & ~prob.cam_fixed
+
+    delta_c, delta_p = schur_solve(
+        U, V, W, g_c, g_p, lam, prob.point_mask, free, axis_name=axis_name
+    )
+
+    R_new, t_new = jax.vmap(se3.left_update)(delta_c, R, t)
+    points_new = points + delta_p.T
+    return R_new, t_new, points_new
+
+
+def schur_solve(U, V, W, g_c, g_p, lam, point_mask, free, axis_name=None):
+    """Damped Schur-complement solve of a 6/3 block system, slab form.
+
+    Shared by the reprojection and photometric (ba_photometric.py)
+    backends — the block structure is the reference's stated
+    ``BlockSolver<6,3>`` + marginalized landmarks intent
+    (bundle_adjuster.h:108,128); only the residuals differ.
+
+    U (C, 6, 6) camera blocks; V (3, 3, L) landmark-block scalar planes;
+    W: list of three (C, 6, L) slabs (column k of the (6, 3) cross
+    blocks); g_c (C, 6); g_p (3, L); free (C,) bool — cameras optimized.
+    Returns (delta_c (C, 6), delta_p (3, L)), zero for masked slots.
+
+    With `axis_name` (landmark-sharded distributed mode, inside
+    shard_map): only the (6C)^2 + 6C reduced camera system is psum'd
+    over the mesh; everything landmark-indexed stays shard-local.
+    """
+    C = U.shape[0]
+    dtype = U.dtype
+
     # LM damping (multiplicative on the diagonal).
-    eye6 = jnp.eye(6, dtype=r.dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
     U_d = U + lam * (jnp.einsum("cii->c", U) / 6.0 + 1e-6)[:, None, None] * eye6
     trV = (V[0, 0] + V[1, 1] + V[2, 2]) / 3.0 + 1e-6    # (L,)
-    V_d = V + (lam * trV) * jnp.eye(3, dtype=r.dtype)[:, :, None]
+    V_d = V + (lam * trV) * jnp.eye(3, dtype=dtype)[:, :, None]
 
     # Marginalize landmarks (Schur): batched closed-form 3x3 inverses on
     # (3, 3, L) planes; Y = W V^-1 built slab-by-slab, and the Schur
     # cross term -Y W^T reduced as three (6C, L) x (L, 6C) MXU matmuls.
-    V_inv = _inv3x3_planes(V_d) * prob.point_mask[None, None, :]
+    V_inv = _inv3x3_planes(V_d) * point_mask[None, None, :]
     Y = [
         sum(W[k] * V_inv[k, j][None, None] for k in range(3))
         for j in range(3)
@@ -285,12 +320,7 @@ def _lm_iteration(
     S = S_cross.at[jnp.arange(C), jnp.arange(C)].add(U_d)
     b_red = g_c - b_cross
 
-    # Gauge/freeze mask: first num_fixed cameras, explicit cam_fixed
-    # slots, and unused slots.
-    free = prob.cam_mask & (jnp.arange(C) >= params.num_fixed)
-    if prob.cam_fixed is not None:
-        free = free & ~prob.cam_fixed
-    free_f = free.astype(r.dtype)
+    free_f = free.astype(dtype)
     S = S * free_f[:, None, None, None] * free_f[None, :, None, None]
     S = S.at[jnp.arange(C), jnp.arange(C)].add(
         (1.0 - free_f)[:, None, None] * eye6
@@ -308,11 +338,8 @@ def _lm_iteration(
     )                                                   # (3, L)
     delta_p = jnp.einsum("ijl,jl->il", V_inv, rhs)      # (3, L)
     delta_p = jnp.where(jnp.isfinite(delta_p), delta_p, 0.0)
-    delta_p = delta_p * prob.point_mask[None, :]
-
-    R_new, t_new = jax.vmap(se3.left_update)(delta_c, R, t)
-    points_new = points + delta_p.T
-    return R_new, t_new, points_new
+    delta_p = delta_p * point_mask[None, :]
+    return delta_c, delta_p
 
 
 def solve_impl(prob: BAProblem, params: BAParams = BAParams(), axis_name=None):

@@ -285,6 +285,40 @@ def sample_patch_grid_with_grad(windows, base, centers, half: int):
     return vals, gx, gy
 
 
+def sample_patch_grid_scaled_with_grad(windows, base, centers, half: int,
+                                       scale):
+    """`sample_patch_grid_with_grad` with per-item grid SPACING.
+
+    Sample coords = centers + r * scale, r in [-half, half), scale (N,) —
+    the scale-warped patch footprint photometric BA uses (the template's
+    pixel pitch in the current image scales with the anchor/current depth
+    ratio). Gradients are wrt the IMAGE coordinate (not the patch index):
+    d(value)/du at each sample point, so chain rules compose unchanged.
+
+    Returns (vals (N, P, P), gx (N, P, P), gy (N, P, P)).
+    """
+    rows, win = windows.shape[-2], windows.shape[-1]
+    r = jnp.arange(-half, half, dtype=centers.dtype)
+    us = jnp.clip(
+        centers[:, 0:1] - base[:, 0:1] + r[None] * scale[:, None],
+        0.0, win - 1.0,
+    )
+    vs = jnp.clip(
+        centers[:, 1:2] - base[:, 1:2] + r[None] * scale[:, None],
+        0.0, rows - 1.0,
+    )
+    Wu = _hat_weights(us, win)
+    Wv = _hat_weights(vs, rows)
+    dWu = _hat_weights_grad(us, win)
+    dWv = _hat_weights_grad(vs, rows)
+    Ty = jnp.einsum("npy,nyx->npx", Wv, windows)
+    vals = jnp.einsum("npx,nqx->npq", Ty, Wu)
+    gx = jnp.einsum("npx,nqx->npq", Ty, dWu)
+    Tdy = jnp.einsum("npy,nyx->npx", dWv, windows)
+    gy = jnp.einsum("npx,nqx->npq", Tdy, Wu)
+    return vals, gx, gy
+
+
 def gradient(img, uv, delta: float = 1.0):
     """Central-difference image gradient at uv (..., 2) -> (..., 2) [gx, gy].
 

@@ -130,6 +130,50 @@ def update_from_ba(m: MapState, R, t, points) -> MapState:
     )
 
 
+def as_photo_ba_problem(m: MapState, intr, level: int = 1, half_patch: int = 2):
+    """View the window as a backend/ba_photometric.PhotoBAProblem.
+
+    Realizes the reference's intended photometric backend
+    (bundle_adjuster.h:58-106) on live map state: each landmark's 4x4
+    template is sampled from its ANCHOR keyframe — the oldest keyframe
+    observing it — at the *recorded observation* pixel (not the current
+    point projection, so a drifted point estimate cannot corrupt its own
+    template). `level` selects the pyramid level the residuals run on.
+
+    Returns (PhotoBAProblem, level_intrinsics).
+    """
+    from viso_tpu.backend import ba_photometric as pba
+    from viso_tpu.geometry import sampling
+
+    images = m.kf_pyr[level]
+    intr_l = intr.at_level(level)
+    scale = 0.5**level
+    # Anchor = observing keyframe with the smallest source frame id
+    # (slots are round-robin, so slot order is not age order).
+    BIG = jnp.int32(2**30)
+    age = jnp.where(m.obs_mask, m.kf_frame_id[:, None], BIG)  # (K, L)
+    anchor_idx = jnp.argmin(age, axis=0)                       # (L,)
+    uv_anchor = (
+        m.obs_uv[anchor_idx, jnp.arange(m.points.shape[0])] * scale
+    )
+    offs = sampling.patch_offsets(half_patch, uv_anchor.dtype).reshape(-1, 2)
+    template = sampling.bilinear_indexed(
+        images, anchor_idx, uv_anchor[:, None, :] + offs[None]
+    )
+    prob = pba.PhotoBAProblem(
+        R=m.kf_R,
+        t=m.kf_t,
+        points=m.points,
+        images=images,
+        template=template,
+        anchor_idx=anchor_idx,
+        obs_mask=m.obs_mask,
+        cam_mask=m.kf_mask,
+        point_mask=m.point_mask,
+    )
+    return prob, intr_l
+
+
 def as_ba_problem(m: MapState, intr):
     """View the window as a backend/ba.BAProblem (normalized obs coords)."""
     from viso_tpu.backend import ba

@@ -39,6 +39,7 @@ def build_engine(seq, args):
         max_landmarks=args.max_landmarks,
         max_keyframes=args.max_keyframes,
         fast_threshold=args.fast_threshold,
+        ba_backend=args.ba_backend,
     )
     if args.init_disparity_px:
         cfg = dataclasses.replace(
@@ -69,6 +70,10 @@ def main(argv=None):
     # tuned for lateral motion; forward-dominant sequences need ~5).
     # 0 = keep the config default.
     ap.add_argument("--init-disparity-px", type=float, default=0.0)
+    # Window-BA residual type; "photometric" is the reference's stated
+    # backend intent (bundle_adjuster.h:58-106).
+    ap.add_argument("--ba-backend", choices=["reprojection", "photometric"],
+                    default="reprojection")
     ap.add_argument("--height", type=int, default=0)
     ap.add_argument("--width", type=int, default=0)
     ap.add_argument("--out-dir", default="out")

@@ -98,6 +98,12 @@ class VOConfig:
     ba_huber_px: float = 3.0
     ba_trunc_px: float = 10.0
     run_ba: bool = True
+    # "reprojection" (geometric, backend/ba.py) or "photometric" — the
+    # reference's stated intent: 16-dim 4x4-patch intensity residuals
+    # (bundle_adjuster.h:58-106; backend/ba_photometric.py).
+    ba_backend: str = "reprojection"
+    photo_ba_level: int = 1      # pyramid level photometric residuals run on
+    photo_ba_huber: float = 12.0  # gray levels
 
     # Stereo
     max_disparity: int = 128
@@ -290,21 +296,41 @@ class BaseVO:
         for s in fixed_slots:
             cam_fixed[s] = True
         if "ba" not in self._kernels:
-            params = ba.BAParams(
-                iters=cfg.ba_iters,
-                huber=cfg.ba_huber_px / cfg.fx,
-                trunc=cfg.ba_trunc_px / cfg.fx,
-                num_fixed=0,
-            )
             intr = self.intr
+            if cfg.ba_backend == "photometric":
+                from viso_tpu.backend import ba_photometric as pba
 
-            @jax.jit
-            def run_ba(m: map_state.MapState, cam_fixed):
-                prob = map_state.as_ba_problem(m, intr)
-                prob = prob._replace(cam_fixed=cam_fixed)
-                out, info = ba.solve_impl(prob, params)
-                m = map_state.update_from_ba(m, out.R, out.t, out.points)
-                return m, info["final_cost"]
+                pparams = pba.PhotoBAParams(
+                    iters=cfg.ba_iters,
+                    huber=cfg.photo_ba_huber,
+                    num_fixed=0,
+                )
+                level = cfg.photo_ba_level
+
+                @jax.jit
+                def run_ba(m: map_state.MapState, cam_fixed):
+                    prob, intr_l = map_state.as_photo_ba_problem(
+                        m, intr, level=level
+                    )
+                    prob = prob._replace(cam_fixed=cam_fixed)
+                    out, info = pba.solve_impl(prob, intr_l, pparams)
+                    m = map_state.update_from_ba(m, out.R, out.t, out.points)
+                    return m, info["final_cost"]
+            else:
+                params = ba.BAParams(
+                    iters=cfg.ba_iters,
+                    huber=cfg.ba_huber_px / cfg.fx,
+                    trunc=cfg.ba_trunc_px / cfg.fx,
+                    num_fixed=0,
+                )
+
+                @jax.jit
+                def run_ba(m: map_state.MapState, cam_fixed):
+                    prob = map_state.as_ba_problem(m, intr)
+                    prob = prob._replace(cam_fixed=cam_fixed)
+                    out, info = ba.solve_impl(prob, params)
+                    m = map_state.update_from_ba(m, out.R, out.t, out.points)
+                    return m, info["final_cost"]
 
             self._kernels["ba"] = run_ba
         self.map, final_cost = self._kernels["ba"](self.map, jnp.asarray(cam_fixed))
