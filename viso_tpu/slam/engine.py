@@ -82,16 +82,15 @@ class VOConfig:
     kf_min_gap: int = 3
     kf_max_gap: int = 20
     kf_min_visible_frac: float = 0.6
-    # Frames of staleness for the on-device tracking stats before the
-    # host reads them. Over a remote-attached chip (~25-30 ms RTT) the
-    # device->host copy launched N frames ago must have landed by read
-    # time or the read stalls the dispatch loop; 2 frames covers one RTT
-    # at < ~15 ms/frame throughput. MUST stay < kf_min_gap: for
-    # `stats_delay` frames after a keyframe insert the readings still
-    # reflect the pre-insert map, and only the min-gap guard stops them
-    # from re-triggering inserts (measured: delay 3 with gap 3 collapses
-    # throughput 10x in repeated KF+BA).
-    stats_delay: int = 2
+    # On-device tracking stats are fetched by a background reader
+    # thread (np.asarray off the dispatch thread); the frame loop polls
+    # the completed fetches and consumes the newest one, so it never
+    # blocks on the ~25-30 ms tunnel RTT of a remote-attached chip. It
+    # force-joins the oldest fetch only when more than stats_max_lag are
+    # in flight, bounding decision staleness; keyframe / lost decisions
+    # additionally ignore samples older than the newest keyframe, so
+    # staleness can exceed kf_min_gap without re-triggering inserts.
+    stats_max_lag: int = 2
 
     # Backend
     ba_iters: int = 8
@@ -308,14 +307,17 @@ class BaseVO:
                 level = cfg.photo_ba_level
 
                 @jax.jit
-                def run_ba(m: map_state.MapState, cam_fixed):
+                def run_ba(m: map_state.MapState, cam_fixed, pose_slot):
                     prob, intr_l = map_state.as_photo_ba_problem(
                         m, intr, level=level
                     )
                     prob = prob._replace(cam_fixed=cam_fixed)
                     out, info = pba.solve_impl(prob, intr_l, pparams)
                     m = map_state.update_from_ba(m, out.R, out.t, out.points)
-                    return m, info["final_cost"]
+                    # Newest keyframe's adjusted pose, returned directly:
+                    # a host-side m.kf_R[slot] would cost two extra
+                    # dispatches per keyframe.
+                    return m, info["final_cost"], out.R[pose_slot], out.t[pose_slot]
             else:
                 params = ba.BAParams(
                     iters=cfg.ba_iters,
@@ -325,15 +327,18 @@ class BaseVO:
                 )
 
                 @jax.jit
-                def run_ba(m: map_state.MapState, cam_fixed):
+                def run_ba(m: map_state.MapState, cam_fixed, pose_slot):
                     prob = map_state.as_ba_problem(m, intr)
                     prob = prob._replace(cam_fixed=cam_fixed)
                     out, info = ba.solve_impl(prob, params)
                     m = map_state.update_from_ba(m, out.R, out.t, out.points)
-                    return m, info["final_cost"]
+                    return m, info["final_cost"], out.R[pose_slot], out.t[pose_slot]
 
             self._kernels["ba"] = run_ba
-        self.map, final_cost = self._kernels["ba"](self.map, jnp.asarray(cam_fixed))
+        slot = self.kf_order[-1]
+        self.map, final_cost, self.R, self.t = self._kernels["ba"](
+            self.map, jnp.asarray(cam_fixed), slot
+        )
         return final_cost
 
     def _track_landmarks(self, img):
@@ -341,11 +346,13 @@ class BaseVO:
 
         Returns (ok_align (L,), refined_uv (L, 2), n_tracked int, pyr).
 
-        The returned n_tracked is ONE FRAME STALE: the freshly dispatched
-        kernel's stats stay on-device; we fetch the *previous* frame's
-        stats, whose transfer overlaps the current frame's compute. Over
-        a remote-attached TPU (~30 ms RTT) a same-frame readback would
-        serialize host RTT with device compute every frame.
+        The returned n_tracked is a frame or two STALE: a background
+        thread fetches each frame's stats (np.asarray blocks *that*
+        thread on compute + D2H copy); the frame loop polls completed
+        fetches and consumes the newest, force-joining only when more
+        than `stats_max_lag` are in flight. Over a remote-attached TPU
+        (~30 ms RTT) a same-frame readback would serialize host RTT with
+        device compute every frame.
         """
         if "track" not in self._kernels:
             self._kernels["track"] = self._build_track_kernel()
@@ -360,10 +367,9 @@ class BaseVO:
         self.prev_R, self.prev_t = self.R, self.t
         self.R, self.t = R_new, t_new
         self._last_tracked = ok_align
-        # Kick off the device->host copy NOW; by the time this frame's
-        # stats are read `stats_delay` frames later, the bytes are already
-        # host-side (a blocking np.asarray at read time costs one ~30 ms
-        # tunnel RTT per frame).
+        # Kick off the device->host copy NOW so the background reader's
+        # np.asarray finds the bytes already in flight (saves one ~30 ms
+        # tunnel RTT of queueing on a remote-attached chip).
         try:
             stats.copy_to_host_async()
         except AttributeError:
@@ -371,15 +377,37 @@ class BaseVO:
         q = getattr(self, "_pending_stats_q", None)
         if q is None:
             q = self._pending_stats_q = []
-        q.append(stats)
-        if len(q) > max(1, self.cfg.stats_delay):
-            n_tracked, n_points = (int(v) for v in np.asarray(q.pop(0)))
+            import concurrent.futures
+
+            # 4 workers: one D2H fetch costs ~an RTT behind a tunneled
+            # chip; overlapping fetches keeps stats throughput above the
+            # frame rate so the force-join below never fires steady-state.
+            self._stats_reader = concurrent.futures.ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="viso-stats"
+            )
+        q.append((self.frame_idx, self._stats_reader.submit(np.asarray, stats)))
+        # Consume every fetch that has landed host-side; force-join the
+        # oldest only when the queue exceeds stats_max_lag (bounds
+        # decision staleness without ever blocking in the common case).
+        consumed = None
+        while q and (q[0][1].done() or len(q) > max(1, self.cfg.stats_max_lag)):
+            f, fut = q.pop(0)
+            consumed = (f, fut.result())
+        if consumed is not None:
+            self._stats_frame = consumed[0]
+            n_tracked, n_points = (int(v) for v in consumed[1])
             self._n_points_cache = n_points
-        else:
-            # Pipeline still filling: be optimistic (no KF / lost decisions
-            # should fire off the first missing samples).
-            n_tracked = self.cfg.num_features
+            self._n_tracked_cache = n_tracked
+        # Pipeline still filling (no sample ever landed): be optimistic —
+        # no KF / lost decisions should fire off the first missing samples.
+        n_tracked = getattr(self, "_n_tracked_cache", self.cfg.num_features)
         return ok_align, refined, n_tracked, pyr
+
+    def _stats_fresh(self) -> bool:
+        """True when the last consumed stats sample postdates the newest
+        keyframe — i.e. it reflects the post-insert map. Pre-insert
+        samples must not drive keyframe / lost-tracking decisions."""
+        return getattr(self, "_stats_frame", -1) > self.last_kf_frame
 
     def _should_insert_keyframe(self, n_tracked):
         cfg = self.cfg
@@ -388,6 +416,8 @@ class BaseVO:
             return False
         if gap >= cfg.kf_max_gap:
             return True
+        if not self._stats_fresh():
+            return False
         n_landmarks = getattr(self, "_n_points_cache", None)
         if n_landmarks is None:
             n_landmarks = int(self.map.num_points)
@@ -456,8 +486,9 @@ class StereoVO(BaseVO):
 
         # Lost-tracking recovery: after a few nearly-trackless frames,
         # force a fresh stereo keyframe (new landmarks re-anchor the
-        # tracker at the predicted pose).
-        if n_tracked < cfg.min_lost_points:
+        # tracker at the predicted pose). Only post-insert stats count —
+        # a stale pre-keyframe sample would re-trigger recovery forever.
+        if n_tracked < cfg.min_lost_points and self._stats_fresh():
             self._lost_count = getattr(self, "_lost_count", 0) + 1
         else:
             self._lost_count = 0
@@ -474,10 +505,9 @@ class StereoVO(BaseVO):
             self.last_kf_frame = self.frame_idx
             if cfg.run_ba and len(self.kf_order) >= 2:
                 fixed = self.kf_order[:1]
+                # Tracking pose follows the (possibly shifted) newest KF;
+                # _run_window_ba returns it from the BA kernel directly.
                 self._run_window_ba(fixed)
-                # Tracking pose follows the (possibly shifted) newest KF.
-                self.R = self.map.kf_R[slot]
-                self.t = self.map.kf_t[slot]
             # num_points refreshes from the next frame's stats readback —
             # no blocking sync here.
 
@@ -620,10 +650,8 @@ class MonocularVO(BaseVO):
                 self._insert_mono_keyframe(pyr, (ok_align, refined))
                 self.last_kf_frame = self.frame_idx
                 if cfg.run_ba and len(self.kf_order) >= 2:
+                    # Updates self.R/self.t to the adjusted newest-KF pose.
                     self._run_window_ba(self.kf_order[:2])
-                    slot = self.kf_order[-1]
-                    self.R = self.map.kf_R[slot]
-                    self.t = self.map.kf_t[slot]
             self.last_pyr = pyr
             self._record(
                 num_tracked=n_tracked,
