@@ -285,6 +285,31 @@ def sample_patch_grid_with_grad(windows, base, centers, half: int):
     return vals, gx, gy
 
 
+def sample_patch_grid_scaled(windows, base, centers, half: int, scale):
+    """`sample_patch_grid` with per-item grid SPACING (values only).
+
+    Sample coords = centers + r * scale, r in [-half, half), scale (N,).
+    Used by templated direct tracking: the frozen keyframe template's
+    pixel pitch in the current image scales with the keyframe/current
+    depth ratio, so the current patch must be sampled at that pitch or
+    forward motion biases the photometric GN (observed: 10x ATE).
+    """
+    rows, win = windows.shape[-2], windows.shape[-1]
+    r = jnp.arange(-half, half, dtype=centers.dtype)
+    us = jnp.clip(
+        centers[:, 0:1] - base[:, 0:1] + r[None] * scale[:, None],
+        0.0, win - 1.0,
+    )
+    vs = jnp.clip(
+        centers[:, 1:2] - base[:, 1:2] + r[None] * scale[:, None],
+        0.0, rows - 1.0,
+    )
+    Wu = _hat_weights(us, win)
+    Wv = _hat_weights(vs, rows)
+    Ty = jnp.einsum("npy,nyx->npx", Wv, windows)
+    return jnp.einsum("npx,nqx->npq", Ty, Wu)
+
+
 def sample_patch_grid_scaled_with_grad(windows, base, centers, half: int,
                                        scale):
     """`sample_patch_grid_with_grad` with per-item grid SPACING.

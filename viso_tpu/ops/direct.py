@@ -83,63 +83,81 @@ def _huber_weight(r, delta):
     return jnp.where(a <= delta, 1.0, delta / jnp.maximum(a, 1e-9))
 
 
-def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
-                R0, t0, intr_l, params: DirectParams):
-    """One pyramid level of direct GN. Returns (R, t, cost).
+class LevelTemplate(NamedTuple):
+    """Frozen per-level tracking template (inverse-compositional style).
 
-    Inverse-compositional-style: the template patches, their gradients,
-    and the pixel Jacobian are all evaluated ONCE in the reference frame
-    and frozen (gradient equivalence at the optimum — the same trick the
-    reference uses for LK at viso.cpp:297-303, applied to SE3). Each GN
-    iteration then costs only ONE 4-gather bilinear sample of the current
-    image plus MXU einsums — gathers are the TPU bottleneck, so the
-    per-iteration gather count is the frame-rate lever.
+    Built once per reference frame/keyframe; each GN iteration then needs
+    only the CURRENT image's cached windows. T (N, P, P) template patch;
+    J6 (6, N*P*P) frozen photometric Jacobian (lane-major: a trailing dim
+    of 6 would pad to 128 lanes); ok (N,) template validity; d_ref (N,)
+    reference-frame depths (for depth-ratio scale warping of the current
+    patch footprint).
+    """
+    T: jnp.ndarray
+    J6: jnp.ndarray
+    ok: jnp.ndarray
+    d_ref: jnp.ndarray
+
+
+def build_level_template(img_ref, points_w, point_mask, R_ref, t_ref,
+                         intr_l, params: DirectParams) -> LevelTemplate:
+    """Template patches + frozen Jacobians for one pyramid level.
+
+    The template patches, their gradients, and the pixel Jacobian are
+    all evaluated ONCE in the reference frame and frozen (gradient
+    equivalence at the optimum — the same trick the reference uses for
+    LK at viso.cpp:297-303, applied to SE3). Window extraction here only
+    needs a 1-px bilinear border around the patch.
     """
     half = params.half_patch
     H_img, W_img = img_ref.shape
-    # Window = patch + motion margin. Fine (large) levels track with a
-    # warm start so +-4 px margin suffices; coarse levels absorb the
-    # unmodeled motion with a wider margin (they are cheap to extract).
-    margin = 8 if min(img_ref.shape) <= 200 else 4
-    win = min(2 * half + 2 * margin, *img_ref.shape)
-
-    # Template: project points into the *reference* frame (viso.cpp:690-694).
     p_ref = se3.transform(R_ref, t_ref, points_w)
     uv_ref, d_ref = cam_mod.project(p_ref, intr_l)
     ref_ok = (d_ref > params.min_depth) & cam_mod.is_inside(
         uv_ref, H_img, W_img, border=half + 1
     ) & point_mask
     n_points = points_w.shape[0]
-
-    # Template (reference) and warm-start (current) windows in ONE
-    # Pallas DMA launch: both images stacked, 2N copies issued together.
-    # The current windows let the GN loop sample with zero gathers
-    # (sampling.py fast path).
-    p0 = se3.transform(R0, t0, points_w)
-    uv0, _ = cam_mod.project(p0, intr_l)
-    win2, base2 = extract_pallas.extract_windows_indexed_fast(
-        jnp.stack([img_ref, img_cur]),
-        jnp.concatenate(
-            [jnp.zeros(n_points, jnp.int32), jnp.ones(n_points, jnp.int32)]
-        ),
-        jnp.concatenate([uv_ref, uv0]),
-        win,
+    win = min(2 * half + 2, *img_ref.shape)
+    ref_win, ref_base = extract_pallas.extract_windows_fast(
+        img_ref, uv_ref, win
     )
-    ref_win, cur_win = win2[:n_points], win2[n_points:]
-    ref_base, cur_base = base2[:n_points], base2[n_points:]
-
     T, gx, gy = sampling.sample_patch_grid_with_grad(
         ref_win, ref_base, uv_ref, half
     )
     Jpix = pixel_jacobian(p_ref, intr_l)                        # (N, 2, 6)
     patch_px = (2 * half) ** 2
-    # Jacobian in (6, M) layout, M = N*P*P in the LANE dimension: the
-    # natural (M, 6) layout pads 6 -> 128 lanes and multiplies the GN
-    # loop's HBM traffic by ~20x.
     J6 = (
         gx[None] * Jpix[:, 0].T[:, :, None, None]
         + gy[None] * Jpix[:, 1].T[:, :, None, None]
     ).reshape(6, n_points * patch_px)
+    return LevelTemplate(T=T, J6=J6, ok=ref_ok, d_ref=d_ref)
+
+
+def _level_pass_cached(img_cur, tmpl: LevelTemplate, points_w,
+                       R0, t0, intr_l, params: DirectParams):
+    """One pyramid level of direct GN against a frozen template.
+
+    Each GN iteration costs only zero-gather bilinear samples of the
+    cached current-image windows plus MXU einsums — gathers/DMAs are the
+    TPU bottleneck, so the per-iteration copy count is the frame-rate
+    lever. Returns (R, t, cost).
+    """
+    half = params.half_patch
+    H_img, W_img = img_cur.shape
+    # Window = patch + motion margin. Fine (large) levels track with a
+    # warm start so +-4 px margin suffices; coarse levels absorb the
+    # unmodeled motion with a wider margin (they are cheap to extract).
+    margin = 8 if min(img_cur.shape) <= 200 else 4
+    win = min(2 * half + 2 * margin, *img_cur.shape)
+    n_points = points_w.shape[0]
+    patch_px = (2 * half) ** 2
+
+    p0 = se3.transform(R0, t0, points_w)
+    uv0, _ = cam_mod.project(p0, intr_l)
+    cur_win, cur_base = extract_pallas.extract_windows_fast(
+        img_cur, uv0, win
+    )
+    T, J6, ref_ok = tmpl.T, tmpl.J6, tmpl.ok
     # Window extent per axis (rectangular on the TPU DMA path).
     win_uv = jnp.asarray(
         [cur_win.shape[-1], cur_win.shape[-2]], img_cur.dtype
@@ -148,11 +166,20 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
     def compute_b(R, t):
         p_cur = se3.transform(R, t, points_w)
         uv_cur, d_cur = cam_mod.project(p_cur, intr_l)
+        # Depth-ratio scale warp: a template pixel spans d_ref/d_cur
+        # current-image pixels (forward motion shrinks d_cur and grows
+        # the patch). Sampling the current image at the template's
+        # frozen unit pitch biases the GN — 10x ATE over a 5-frame
+        # keyframe gap at ~1 m/frame.
+        scale = jnp.clip(
+            tmpl.d_ref / jnp.maximum(d_cur, params.min_depth), 0.5, 2.0
+        )
+        ext = half * scale[:, None] + 1.0
         # Samples beyond the cached window clamp to its border; treat a
-        # center drifting near the window edge as invalid.
+        # center whose (scaled) patch leaves the window as invalid.
         in_win = jnp.all(
-            (uv_cur - cur_base >= half + 1)
-            & (uv_cur - cur_base <= win_uv - half - 2),
+            (uv_cur - cur_base >= ext)
+            & (uv_cur - cur_base <= win_uv - ext - 1.0),
             axis=-1,
         )
         cur_ok = (
@@ -160,8 +187,10 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
             & cam_mod.is_inside(uv_cur, H_img, W_img, border=half + 1)
             & in_win
         )
-        ok = (ref_ok & cur_ok).astype(img_ref.dtype)  # (N,)
-        I = sampling.sample_patch_grid(cur_win, cur_base, uv_cur, half)
+        ok = (ref_ok & cur_ok).astype(img_cur.dtype)  # (N,)
+        I = sampling.sample_patch_grid_scaled(
+            cur_win, cur_base, uv_cur, half, scale
+        )
         r = I - T                                            # (N, P, P)
         w = _huber_weight(r, params.huber_delta) * ok[:, None, None]
         rf = r.reshape(n_points * patch_px)
@@ -193,7 +222,7 @@ def _level_pass(img_ref, img_cur, points_w, point_mask, R_ref, t_ref,
         R_new, t_new = se3.left_update(xi, R, t)
         return R_new, t_new, best_R, best_t, best_cost
 
-    init = (R0, t0, R0, t0, jnp.asarray(jnp.inf, img_ref.dtype))
+    init = (R0, t0, R0, t0, jnp.asarray(jnp.inf, img_cur.dtype))
     R, t, best_R, best_t, best_cost = jax.lax.fori_loop(
         0, params.iters, body, init
     )
@@ -229,20 +258,72 @@ def estimate_pose(
 
     Returns (R, t, final_cost).
     """
+    templates = build_templates(
+        pyr_ref, R_ref, t_ref, points_w, point_mask, intr, params
+    )
+    return estimate_pose_templated(
+        templates, pyr_cur, points_w, intr, R0, t0, params
+    )
+
+
+def _level_points(points_w, point_mask, level: int):
+    """Coarse levels exist to absorb large motion, not to average noise:
+    a quarter of the points over-determines the 6-DoF pose there, and
+    per-point window DMAs are the level's main cost."""
+    if level >= 2 and points_w.shape[0] >= 512:
+        return points_w[::4], None if point_mask is None else point_mask[::4]
+    return points_w, point_mask
+
+
+def build_templates(
+    pyr_ref,
+    R_ref,
+    t_ref,
+    points_w,
+    point_mask,
+    intr: cam_mod.Intrinsics,
+    params: DirectParams = DirectParams(),
+):
+    """Frozen multi-level tracking templates (tuple indexed by level).
+
+    Build once per reference keyframe; estimate_pose_templated then
+    tracks any number of later frames against it with HALF the window
+    DMAs and none of the template sampling / Jacobian work per frame.
+    """
+    levels = min(params.levels, len(pyr_ref))
+    out = []
+    for level in range(levels):
+        pts_l, mask_l = _level_points(points_w, point_mask, level)
+        out.append(
+            build_level_template(
+                pyr_ref[level], pts_l, mask_l, R_ref, t_ref,
+                intr.at_level(level), params,
+            )
+        )
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def estimate_pose_templated(
+    templates,
+    pyr_cur,
+    points_w,
+    intr: cam_mod.Intrinsics,
+    R0,
+    t0,
+    params: DirectParams = DirectParams(),
+):
+    """Multi-level direct pose estimation against frozen templates.
+
+    templates: from build_templates (same points_w, same params).
+    Returns (R, t, final_cost)."""
     R, t = R0, t0
     cost = jnp.asarray(jnp.inf, points_w.dtype)
-    levels = min(params.levels, len(pyr_ref))
+    levels = min(params.levels, len(pyr_cur), len(templates))
     for level in range(levels - 1, -1, -1):
-        intr_l = intr.at_level(level)
-        # Coarse levels exist to absorb large motion, not to average
-        # noise: a quarter of the points over-determines the 6-DoF pose
-        # there, and per-point window DMAs are the level's main cost.
-        if level >= 2 and points_w.shape[0] >= 512:
-            pts_l, mask_l = points_w[::4], point_mask[::4]
-        else:
-            pts_l, mask_l = points_w, point_mask
-        R, t, cost = _level_pass(
-            pyr_ref[level], pyr_cur[level], pts_l, mask_l,
-            R_ref, t_ref, R, t, intr_l, params,
+        pts_l, _ = _level_points(points_w, None, level)
+        R, t, cost = _level_pass_cached(
+            pyr_cur[level], templates[level], pts_l, R, t,
+            intr.at_level(level), params,
         )
     return R, t, cost

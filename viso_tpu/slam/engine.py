@@ -205,12 +205,10 @@ class BaseVO:
         cfg = self.cfg
         intr = self.intr
 
-        A = min(cfg.track_landmarks, cfg.max_landmarks)
-
         @jax.jit
         def track(
-            m: map_state.MapState, last_pyr, img, R, t, prev_R, prev_t,
-            last_tracked,
+            m: map_state.MapState, templates, active, img, R, t,
+            prev_R, prev_t,
         ):
             # Pyramid built in-kernel: one host->device launch per frame.
             # Images arrive as uint8 (4x less tunnel/host-link traffic)
@@ -232,19 +230,18 @@ class BaseVO:
             dR, dt = se3.se3_exp(jnp.concatenate([rho, phi]))
             R0, t0 = se3.compose(dR, dt, R, t)
 
-            # Active subset: valid landmarks, recently-tracked first, so
-            # the heavy per-point kernels run on A slots instead of L.
+            # Active subset: frozen per keyframe (chosen when templates
+            # were built), so the heavy per-point kernels run on A slots
+            # instead of L and the frozen templates stay aligned.
             L = m.points.shape[0]
-            priority = (
-                m.point_mask.astype(jnp.int32) * 2
-                + (m.point_mask & last_tracked).astype(jnp.int32)
-            )
-            active = jnp.argsort(-priority)[:A]
             pts_a = m.points[active]
             mask_a = m.point_mask[active]
 
-            R_d, t_d, cost = direct.estimate_pose(
-                last_pyr, pyr, R, t, pts_a, mask_a, intr, R0, t0
+            # Direct tracking against the newest keyframe's frozen
+            # templates: half the window DMAs of frame-to-frame tracking
+            # and no per-frame template sampling / Jacobian build.
+            R_d, t_d, cost = direct.estimate_pose_templated(
+                templates, pyr, pts_a, intr, R0, t0
             )
             p_cam = se3.transform(R_d, t_d, pts_a)
             uv_pred, depth = cam_mod.project(p_cam, intr)
@@ -273,8 +270,18 @@ class BaseVO:
             )
             n_tracked = jnp.sum(ok_a)
             use_refined = n_tracked >= cfg.min_tracked_points
-            R_new = jnp.where(use_refined, R_f, R_d)
-            t_new = jnp.where(use_refined, t_f, t_d)
+            # Lost frame: HOLD the previous pose instead of dead-reckoning.
+            # Keyframe-templated tracking (unlike frame-to-frame) never
+            # re-measures relative motion once the template is invisible,
+            # so a bogus constant-velocity estimate would otherwise
+            # self-perpetuate at the clamp limit forever (observed: a
+            # 3-frame sensor blackout turned into permanent 3 m/frame
+            # drift that outran every later recovery keyframe's warm
+            # start). Zero velocity keeps the recovery keyframe's
+            # landmarks inside the next frame's GN convergence basin.
+            lost = n_tracked < cfg.min_lost_points
+            R_new = jnp.where(use_refined, R_f, jnp.where(lost, R, R_d))
+            t_new = jnp.where(use_refined, t_f, jnp.where(lost, t, t_d))
             # Scatter results back to full landmark index space.
             ok_align = jnp.zeros(L, bool).at[active].set(ok_a)
             refined = jnp.zeros((L, 2), refined_a.dtype).at[active].set(refined_a)
@@ -288,6 +295,44 @@ class BaseVO:
             return R_new, t_new, ok_align, refined, stats, pyr
 
         return track
+
+    def _build_template_kernel(self):
+        cfg = self.cfg
+        intr = self.intr
+        A = min(cfg.track_landmarks, cfg.max_landmarks)
+
+        @jax.jit
+        def build(m: map_state.MapState, slot):
+            # Active subset for the inter-keyframe tracking epoch: valid
+            # landmarks first, those observed in the new keyframe ahead
+            # of the rest. Frozen until the next keyframe so the
+            # templates and the track kernel index the same slots.
+            priority = (
+                m.point_mask.astype(jnp.int32) * 2
+                + (m.point_mask & m.obs_mask[slot]).astype(jnp.int32)
+            )
+            active = jnp.argsort(-priority)[:A]
+            pts_a = m.points[active]
+            mask_a = m.point_mask[active]
+            pyr_kf = tuple(lvl[slot] for lvl in m.kf_pyr)
+            templates = direct.build_templates(
+                pyr_kf, m.kf_R[slot], m.kf_t[slot], pts_a, mask_a, intr
+            )
+            return templates, active
+
+        return build
+
+    def _refresh_templates(self, slot: int):
+        """(Re)build the frozen tracking templates from keyframe `slot`.
+
+        Called after every keyframe insertion (post-BA, so templates see
+        the adjusted pose and landmarks). One extra async kernel launch
+        per keyframe buys per-frame tracking half its window DMAs."""
+        if "templates" not in self._kernels:
+            self._kernels["templates"] = self._build_template_kernel()
+        self._templates, self._active_idx = self._kernels["templates"](
+            self.map, slot
+        )
 
     def _run_window_ba(self, fixed_slots):
         cfg = self.cfg
@@ -356,17 +401,14 @@ class BaseVO:
         """
         if "track" not in self._kernels:
             self._kernels["track"] = self._build_track_kernel()
-        if not hasattr(self, "_last_tracked"):
-            self._last_tracked = jnp.zeros(self.cfg.max_landmarks, bool)
         (
             R_new, t_new, ok_align, refined, stats, pyr
         ) = self._kernels["track"](
-            self.map, self.last_pyr, img, self.R, self.t,
-            self.prev_R, self.prev_t, self._last_tracked,
+            self.map, self._templates, self._active_idx, img,
+            self.R, self.t, self.prev_R, self.prev_t,
         )
         self.prev_R, self.prev_t = self.R, self.t
         self.R, self.t = R_new, t_new
-        self._last_tracked = ok_align
         # Kick off the device->host copy NOW so the background reader's
         # np.asarray finds the bytes already in flight (saves one ~30 ms
         # tunnel RTT of queueing on a remote-attached chip).
@@ -469,7 +511,8 @@ class StereoVO(BaseVO):
             pyr = pyramid.build_pyramid(
                 img_left.astype(jnp.float32), cfg.pyramid_levels
             )
-            self._insert_stereo_keyframe(pyr, img_left, img_right)
+            slot = self._insert_stereo_keyframe(pyr, img_left, img_right)
+            self._refresh_templates(slot)
             self.state = "tracking"
             self.last_pyr = pyr
             self.last_kf_frame = self.frame_idx
@@ -508,8 +551,10 @@ class StereoVO(BaseVO):
                 # Tracking pose follows the (possibly shifted) newest KF;
                 # _run_window_ba returns it from the BA kernel directly.
                 self._run_window_ba(fixed)
-            # num_points refreshes from the next frame's stats readback —
-            # no blocking sync here.
+            # Templates rebuilt post-BA so they bake the adjusted pose
+            # and landmarks. num_points refreshes from the next frame's
+            # stats readback — no blocking sync here.
+            self._refresh_templates(slot)
 
         self.last_pyr = pyr
         self._record(
@@ -652,6 +697,7 @@ class MonocularVO(BaseVO):
                 if cfg.run_ba and len(self.kf_order) >= 2:
                     # Updates self.R/self.t to the adjusted newest-KF pose.
                     self._run_window_ba(self.kf_order[:2])
+                self._refresh_templates(self.kf_order[-1])
             self.last_pyr = pyr
             self._record(
                 num_tracked=n_tracked,
@@ -720,6 +766,7 @@ class MonocularVO(BaseVO):
         self.R, self.t = res.R, res.t
         self.prev_R, self.prev_t = jnp.eye(3), jnp.zeros(3)
         self.last_kf_frame = self.frame_idx
+        self._refresh_templates(slot1)
         self.state = "tracking"
         # Keep the tracked keypoints as triangulation candidates.
         self.pending_kps = None
