@@ -205,3 +205,38 @@ def test_pixel_jacobian_matches_autodiff(rng):
     J_auto = jax.jacobian(proj_of_xi)(jnp.zeros(6))
     J_analytic = direct.pixel_jacobian(p, intr)
     assert np.allclose(np.asarray(J_auto), np.asarray(J_analytic), atol=1e-3)
+
+
+def test_templated_tracking_reuses_templates(rng):
+    """Frozen keyframe templates must track MULTIPLE later frames,
+    including forward motion where the depth-ratio scale warp matters
+    (a template pixel spans d_ref/d_cur current-image pixels)."""
+    intr = camera.Intrinsics.create(120.0, 120.0, 80.0, 60.0)
+    tex = smooth_texture(rng, 256, 256)
+    R1 = np.eye(3, dtype=np.float32)
+    t1 = np.zeros(3, np.float32)
+    img1, pts_w = _render_plane(intr, R1, t1, tex)
+    sel_v = rng.integers(10, 110, 80)
+    sel_u = rng.integers(10, 150, 80)
+    points = jnp.array(pts_w[sel_v, sel_u])
+    pyr1 = pyramid.build_pyramid(jnp.array(img1))
+    templates = direct.build_templates(
+        pyr1, jnp.array(R1), jnp.array(t1), points, jnp.ones(80, bool), intr
+    )
+    # Two target frames from ONE template build: a small twist and a
+    # large forward step (plane at z=5, step 0.8 => 19% scale change).
+    twists = [
+        np.array([0.05, -0.03, 0.02, 0.008, -0.01, 0.006], np.float32),
+        np.array([0.0, 0.0, 0.8, 0.0, 0.0, 0.0], np.float32),
+    ]
+    for xi_true in twists:
+        R2, t2 = se3.se3_exp(jnp.array(xi_true))
+        img2, _ = _render_plane(intr, np.asarray(R2), np.asarray(t2), tex)
+        pyr2 = pyramid.build_pyramid(jnp.array(img2))
+        R_est, t_est, _ = direct.estimate_pose_templated(
+            templates, pyr2, points, intr, jnp.array(R1), jnp.array(t1)
+        )
+        xi_err = np.asarray(
+            se3.se3_log(*se3.compose(*se3.inverse(R_est, t_est), R2, t2))
+        )
+        assert np.linalg.norm(xi_err) < 0.02, (xi_err, xi_true)

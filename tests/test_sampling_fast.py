@@ -145,3 +145,31 @@ def test_rectangular_windows_match_square(rng):
     assert np.allclose(np.asarray(v_rc), np.asarray(v_sq), atol=1e-4)
     assert np.allclose(np.asarray(gx_r), np.asarray(gx_s), atol=1e-3)
     assert np.allclose(np.asarray(gy_r), np.asarray(gy_s), atol=1e-3)
+
+
+def test_patch_grid_scaled_matches_flattened(rng):
+    """Per-item scaled grid sampling == generic sample_windows on the
+    same scaled coordinates (values and value+grad variants)."""
+    img = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+    n = 40
+    centers = jnp.asarray(
+        np.stack([rng.uniform(16, 112, n), rng.uniform(16, 80, n)], -1)
+        .astype(np.float32)
+    )
+    scale = jnp.asarray(rng.uniform(0.6, 1.8, n).astype(np.float32))
+    half = 3
+    offs = sampling.patch_offsets(half, jnp.float32)
+    uv = centers[:, None, None, :] + offs[None] * scale[:, None, None, None]
+    win, base = sampling.extract_windows(img, centers, 24)
+    ref = sampling.sample_windows(win, base, uv)
+    # Non-integer spacing changes the f32 summation order: ~1e-3 abs on
+    # [0, 255] values is pure rounding, not a sampling-grid mismatch.
+    out = sampling.sample_patch_grid_scaled(win, base, centers, half, scale)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=3e-3)
+    v, gx, gy = sampling.sample_patch_grid_scaled_with_grad(
+        win, base, centers, half, scale
+    )
+    assert np.allclose(np.asarray(v), np.asarray(ref), atol=3e-3)
+    v_ref, g_ref = sampling.sample_windows_with_grad(win, base, uv)
+    assert np.allclose(np.asarray(gx), np.asarray(g_ref[..., 0]), atol=5e-3)
+    assert np.allclose(np.asarray(gy), np.asarray(g_ref[..., 1]), atol=5e-3)

@@ -69,13 +69,20 @@ def main():
     t = timeit(lambda: jax.block_until_ready(jnp.asarray(il8)), 20)
     print(f"upload 1 uint8 image    : {t*1e3:8.2f} ms")
 
-    # 3. Track kernel alone.
+    # 3. Track kernel alone (against the frozen keyframe templates).
     img_dev = jnp.asarray(il8)
     kern = vo._kernels["track"]
-    args = (vo.map, vo.last_pyr, img_dev, vo.R, vo.t, vo.prev_R, vo.prev_t,
-            vo._last_tracked)
+    args = (vo.map, vo._templates, vo._active_idx, img_dev, vo.R, vo.t,
+            vo.prev_R, vo.prev_t)
     t = timeit(lambda: jax.block_until_ready(kern(*args)), 10)
     print(f"track kernel            : {t*1e3:8.2f} ms")
+
+    # 3b. Template build (once per keyframe, off the per-frame path).
+    tk = vo._kernels.get("templates")
+    if tk is not None:
+        slot = vo.kf_order[-1]
+        t = timeit(lambda: jax.block_until_ready(tk(vo.map, slot)), 5)
+        print(f"template build kernel   : {t*1e3:8.2f} ms")
 
     # 4. Stereo keyframe insert kernel.
     kf = vo._kernels.get("stereo_kf")
@@ -93,7 +100,10 @@ def main():
     bak = vo._kernels.get("ba")
     if bak is not None:
         cam_fixed = jnp.zeros(cfg.max_keyframes, bool).at[0].set(True)
-        t = timeit(lambda: jax.block_until_ready(bak(vo.map, cam_fixed)), 5)
+        slot = vo.kf_order[-1]
+        t = timeit(
+            lambda: jax.block_until_ready(bak(vo.map, cam_fixed, slot)), 5
+        )
         print(f"window BA kernel        : {t*1e3:8.2f} ms")
 
     # 6. Full process() on a tracking frame (includes scalar readbacks).
