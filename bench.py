@@ -1,13 +1,17 @@
-"""Benchmark: stereo VO frames/s per chip on a synthetic KITTI-geometry
-sequence. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""Benchmark suite. Prints ONE JSON line with the headline metric
+(stereo VO frames/s per chip) plus the full north-star metric set in
+"extra" (BASELINE.md): BA iterations/s on a 50-keyframe window, ATE on a
+500-frame loop-closure sequence, and an end-to-end FPS that INCLUDES
+PNG decode + host->device transfer through the native prefetch ring.
+
+  {"metric": "stereo_vo_fps_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N, "extra": {...}}
 
 Baseline: the north-star target of 10 FPS real-time stereo VO per chip
 (BASELINE.md; the reference publishes no numbers). vs_baseline = fps / 10.
 
 Runs on whatever jax.devices() provides (the real TPU chip under the
-driver). Rendering happens host-side up front; timing covers the full
-per-frame engine path (pyramid, tracking, alignment, keyframes, BA).
+driver). VISO_BENCH_QUICK=1 skips everything but the headline metric.
 """
 
 from __future__ import annotations
@@ -18,13 +22,23 @@ import time
 
 import numpy as np
 
-# Persistent compilation cache: remote TPU compiles take minutes; cached
-# executables make repeat benchmark runs measure compute, not compiles.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/viso_jax_cache")
+# Persistent compilation cache (per-user location): remote TPU compiles
+# take minutes; cached executables make repeat runs measure compute.
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    import tempfile
+
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        tempfile.gettempdir(), f"viso_jax_cache_{os.getuid()}"
+    )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+KITTI_FULL = dict(fx=718.856, fy=718.856, cx=607.1928, cy=185.2157)
 
-def main():
+
+def bench_headline():
+    """Stereo VO frames/s per chip: full KITTI geometry, frames
+    pre-staged on device (chip throughput — see the e2e metric for the
+    ingestion-included number)."""
     from viso_tpu.data import synthetic
     from viso_tpu.slam.engine import StereoVO, VOConfig
 
@@ -38,10 +52,6 @@ def main():
     cfg = VOConfig(
         height=H,
         width=W,
-        fx=718.856,
-        fy=718.856,
-        cx=607.1928,
-        cy=185.2157,
         baseline=0.537,
         num_features=512,
         max_landmarks=2048,
@@ -55,6 +65,7 @@ def main():
         # freshness. 67 -> 98 FPS at equal ATE on this sequence.
         stats_max_lag=8,
         kf_max_gap=5,
+        **KITTI_FULL,
     )
     intr = cfg.intrinsics()
 
@@ -74,11 +85,12 @@ def main():
     for il, ir in frames[:warmup]:
         vo.process(il, ir)
 
-    # Pre-stage the timed frames on device: this benchmark measures CHIP
-    # throughput (track + keyframe + BA kernels). On a production host the
-    # uint8 uploads ride PCIe (GB/s) overlapped by the native prefetch
-    # ring; here the TPU sits behind a development tunnel whose ~10 MB/s
+    # Pre-stage the timed frames on device: this measures CHIP throughput
+    # (track + keyframe + BA kernels). On a production host the uint8
+    # uploads ride PCIe (GB/s) overlapped by the native prefetch ring;
+    # here the TPU sits behind a development tunnel whose ~10 MB/s
     # bandwidth would otherwise dominate and add 2-4x run-to-run noise.
+    # The `e2e_ingest` metric below reports the number WITH ingestion.
     timed = [vo.to_device(il, ir) for il, ir in frames[warmup:]]
     import jax
 
@@ -89,7 +101,190 @@ def main():
     # process() keeps results on device; wait for the last frame's pose.
     jax.block_until_ready((vo.R, vo.t))
     elapsed = time.perf_counter() - t0
-    fps = (n_frames - warmup) / elapsed
+    vo.close()
+    return (n_frames - warmup) / elapsed
+
+
+def bench_ba_iters(C=50, L=4096, iters=10, reps=3):
+    """LM iterations/s on a 50-keyframe x 4096-landmark window
+    (north-star metric row 3; measures backend/ba.py — the realization
+    of the reference's dead BlockSolver<6,3> intent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from viso_tpu.backend import ba
+    from viso_tpu.geometry import se3
+
+    rng = np.random.default_rng(0)
+    pts = np.stack(
+        [rng.uniform(-10, 10, L), rng.uniform(-4, 4, L), rng.uniform(5, 60, L)],
+        axis=-1,
+    ).astype(np.float32)
+    Rs = np.zeros((C, 3, 3), np.float32)
+    ts = np.zeros((C, 3), np.float32)
+    obs = np.zeros((C, L, 2), np.float32)
+    mask = np.zeros((C, L), bool)
+    for c in range(C):
+        xi = jnp.asarray([0.5 * c, 0.01 * c, 0.0, 0.0, 0.002 * c, 0.0], jnp.float32)
+        R_c, t_c = se3.se3_exp(xi)
+        Rs[c], ts[c] = np.asarray(R_c), np.asarray(t_c)
+        pc = pts @ Rs[c].T + ts[c]
+        ok = (pc[:, 2] > 1.0) & (np.abs(pc[:, 0] / pc[:, 2]) < 0.9)
+        obs[c] = pc[:, :2] / np.maximum(pc[:, 2:3], 1e-3) + rng.normal(
+            0, 1.0 / 700, (L, 2)
+        )
+        mask[c] = ok
+    R0, t0 = Rs.copy(), ts.copy()
+    for c in range(2, C):
+        dR, dt = se3.se3_exp(jnp.asarray(rng.normal(0, 0.01, 6), jnp.float32))
+        R0[c] = np.asarray(dR) @ R0[c]
+        t0[c] = np.asarray(dR) @ t0[c] + np.asarray(dt)
+    prob = ba.BAProblem(
+        R=jnp.asarray(R0), t=jnp.asarray(t0),
+        points=jnp.asarray(pts + rng.normal(0, 0.1, pts.shape).astype(np.float32)),
+        obs_uv=jnp.asarray(obs), obs_mask=jnp.asarray(mask),
+        cam_mask=jnp.ones(C, bool), point_mask=jnp.ones(L, bool),
+    )
+    params = ba.BAParams(iters=iters, num_fixed=2)
+    out, info = ba.solve(prob, params)  # compile
+    jax.block_until_ready(out.R)
+    t0_ = time.perf_counter()
+    for _ in range(reps):
+        out, info = ba.solve(prob, params)
+    jax.block_until_ready(out.R)
+    dt = (time.perf_counter() - t0_) / reps
+    return iters / dt
+
+
+def _ensure_png_sequence(H, W, n_frames):
+    """Render (once, disk-cached) a 2-lap orbit loop-closure sequence at
+    half-KITTI geometry and write it as 8-bit grayscale PNGs — the input
+    for both the long-ATE and the ingestion-included FPS metrics."""
+    import tempfile
+
+    from viso_tpu.data import png_io, synthetic
+    from viso_tpu.geometry import camera
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"viso_bench_seq_{os.getuid()}_{H}x{W}x{n_frames}_v2",
+    )
+    meta = os.path.join(root, "poses.npz")
+    if os.path.exists(meta):
+        d = np.load(meta)
+        return root, d["Rs"], d["ts"]
+    os.makedirs(root, exist_ok=True)
+    intr = camera.Intrinsics.create(
+        KITTI_FULL["fx"] / 2, KITTI_FULL["fy"] / 2,
+        KITTI_FULL["cx"] / 2, KITTI_FULL["cy"] / 2,
+    )
+    rng = np.random.default_rng(11)
+    # Walls at 5.5 m with a 2.5 m orbit keep every viewing distance in
+    # 3-8 m: strong gradients + healthy stereo disparity all the way
+    # around (half=8/radius=3 left an 11 m corner sector where tracking
+    # starved).
+    scene = synthetic.room_scene(rng, tex_size=768, half=5.5)
+    Rs, ts = synthetic.orbit_trajectory(
+        n_frames, radius=2.5, total_angle=4 * np.pi
+    )
+    for i, (R, t) in enumerate(zip(Rs, ts)):
+        lp = os.path.join(root, f"L{i:04d}.png")
+        rp = os.path.join(root, f"R{i:04d}.png")
+        if os.path.exists(lp) and os.path.exists(rp):
+            continue  # resumable: an interrupted build keeps its frames
+        il, ir, _ = synthetic.make_stereo_pair(
+            scene, intr, R, t, H, W, baseline=0.537
+        )
+        png_io.write_gray_png(lp, il)
+        png_io.write_gray_png(rp, ir)
+    np.savez(meta, Rs=Rs, ts=ts)
+    return root, Rs, ts
+
+
+def bench_long_slam(n_frames=500, warmup=60):
+    """500-frame loop-closure SLAM run fed through the NATIVE ingestion
+    path: C++ PNG decode + prefetch ring + uint8 H2D + full engine.
+
+    Returns (ate_rmse_m, loops_closed, e2e_fps) where e2e_fps times
+    frames [warmup:] INCLUDING decode and host->device transfer — the
+    system number the pre-staged headline metric deliberately excludes.
+    """
+    import jax
+
+    from viso_tpu.data import native
+    from viso_tpu.slam.engine import VOConfig
+    from viso_tpu.slam.full import StereoSLAM
+    from viso_tpu.utils import metrics
+
+    H, W = 184, 616  # divisible by 2^3 for the 4-level pyramid
+    root, Rs, ts = _ensure_png_sequence(H, W, n_frames)
+    paths = []
+    for i in range(n_frames):
+        paths.append(os.path.join(root, f"L{i:04d}.png"))
+        paths.append(os.path.join(root, f"R{i:04d}.png"))
+
+    cfg = VOConfig(
+        height=H, width=W, baseline=0.537,
+        fx=KITTI_FULL["fx"] / 2, fy=KITTI_FULL["fy"] / 2,
+        cx=KITTI_FULL["cx"] / 2, cy=KITTI_FULL["cy"] / 2,
+        num_features=256, max_landmarks=1024, detect_grid=(4, 8),
+        # The distant room walls render smoother than the corridor:
+        # FAST needs a lower bar to fill the feature budget here.
+        fast_threshold=6.0, max_disparity=96,
+        stats_max_lag=8, kf_max_gap=8, kf_min_gap=2,
+    )
+    from viso_tpu.slam.loop_closure import LoopParams
+
+    # Orbit laps in a self-similar room: demand strong loop evidence and
+    # bound the implied correction (drift over one lap is ~1-2 m here).
+    slam = StereoSLAM(
+        cfg, LoopParams(min_inliers=40, max_correction_m=4.0)
+    )
+    pre = native.Prefetcher(paths, ring=16, threads=3)
+
+    def next_pair():
+        il = next(pre)
+        ir = next(pre)
+        # uint8 H2D: 4x less tunnel/PCIe traffic than f32.
+        return (
+            np.clip(il, 0, 255).astype(np.uint8),
+            np.clip(ir, 0, 255).astype(np.uint8),
+        )
+
+    for _ in range(warmup):
+        slam.process(*next_pair())
+    t0 = time.perf_counter()
+    for _ in range(n_frames - warmup):
+        slam.process(*next_pair())
+    jax.block_until_ready((slam.R, slam.t))
+    elapsed = time.perf_counter() - t0
+    pre.close()
+    R_est, t_est = slam.trajectory()
+    slam.close()
+    c_est = metrics.camera_centers(R_est, t_est)
+    c_gt = metrics.camera_centers(Rs, ts)
+    ate = metrics.ate_rmse(c_est, c_gt, align=True, with_scale=False)
+    return float(ate), len(slam.loops), (n_frames - warmup) / elapsed
+
+
+def main():
+    fps = bench_headline()
+    extra = {}
+    if os.environ.get("VISO_BENCH_QUICK") != "1":
+        try:
+            extra["ba_iters_per_s_50kf_4096lm"] = round(bench_ba_iters(), 2)
+        except Exception as e:  # noqa: BLE001 — never lose the headline
+            extra["ba_iters_per_s_50kf_4096lm"] = f"error: {e}"
+        try:
+            ate, loops, e2e_fps = bench_long_slam()
+            extra["ate_rmse_m_500f_loop_slam"] = round(ate, 4)
+            extra["loops_closed_500f"] = loops
+            # Includes PNG decode + H2D; on the dev tunnel (~10 MB/s)
+            # this is transfer-bound — on a PCIe host it matches the
+            # chip number. Both are reported so the claim is honest.
+            extra["e2e_ingest_fps_500f_half_res"] = round(e2e_fps, 2)
+        except Exception as e:  # noqa: BLE001
+            extra["long_slam"] = f"error: {e}"
 
     print(
         json.dumps(
@@ -98,6 +293,7 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 10.0, 3),
+                "extra": extra,
             }
         )
     )

@@ -98,3 +98,100 @@ def test_euroc_loader(tmp_path, rng):
     frames = list(seq.frames)
     assert len(frames) == 3
     assert frames[1].timestamp > frames[0].timestamp
+
+
+# ---------------------------------------------------------------------------
+# Real-format robustness: verbatim-style headers (CRLF, comments, extra
+# cameras), not only self-written minimal files; malformed input must
+# fail LOUDLY, not crash downstream with a shape error.
+# ---------------------------------------------------------------------------
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_kitti_calib_real_format(tmp_path):
+    import shutil
+
+    seq = tmp_path / "sequences" / "00"
+    seq.mkdir(parents=True)
+    shutil.copy(os.path.join(FIXTURES, "kitti_calib.txt"), seq / "calib.txt")
+    from viso_tpu.data.datasets import _kitti_calib
+
+    intr, baseline = _kitti_calib(str(seq))
+    assert abs(float(intr.fx) - 718.856) < 1e-3
+    assert abs(float(intr.cx) - 607.1928) < 1e-3
+    # P1[0,3] = -386.1448 => baseline = 386.1448 / 718.856 = 0.5372 m.
+    assert abs(baseline - 0.53716) < 1e-3
+
+
+def test_kitti_calib_malformed_fails_loudly(tmp_path):
+    seq = tmp_path / "s"
+    seq.mkdir()
+    (seq / "calib.txt").write_text("P0: 1.0 2.0 three 4.0\n")
+    from viso_tpu.data.datasets import _kitti_calib
+
+    with pytest.raises(ValueError, match="calib.txt"):
+        _kitti_calib(str(seq))
+    (seq / "calib.txt").write_text("P0: 1 2 3 4 5\n")  # wrong count
+    with pytest.raises(ValueError, match="12 values"):
+        _kitti_calib(str(seq))
+    (seq / "calib.txt").write_text("Tr: " + " ".join(["0.1"] * 12) + "\n")
+    with pytest.raises(ValueError, match="no P0"):
+        _kitti_calib(str(seq))
+
+
+def test_euroc_sensor_yaml_real_format():
+    from viso_tpu.data.datasets import _euroc_sensor_yaml
+
+    calib = _euroc_sensor_yaml(os.path.join(FIXTURES, "euroc_sensor.yaml"))
+    assert calib == dict(fx=458.654, fy=457.296, cx=367.215, cy=248.375)
+
+
+def test_euroc_sensor_yaml_malformed(tmp_path):
+    from viso_tpu.data.datasets import _euroc_sensor_yaml
+
+    bad = tmp_path / "sensor.yaml"
+    bad.write_text("camera_model: pinhole\n")  # missing intrinsics
+    with pytest.raises(ValueError, match="intrinsics"):
+        _euroc_sensor_yaml(str(bad))
+    bad.write_text("intrinsics: [458.654, 457.296]\n")  # wrong arity
+    with pytest.raises(ValueError, match="fx, fy, cx, cy"):
+        _euroc_sensor_yaml(str(bad))
+
+
+def test_euroc_loader_prefers_sensor_yaml(tmp_path):
+    import shutil
+
+    cam = tmp_path / "mav0" / "cam0"
+    (cam / "data").mkdir(parents=True)
+    shutil.copy(
+        os.path.join(FIXTURES, "euroc_sensor.yaml"), cam / "sensor.yaml"
+    )
+    (cam / "data.csv").write_text(
+        "#timestamp [ns],filename\n1403636579763555584,1403636579763555584.png\n"
+    )
+    seq = datasets.load_euroc(str(tmp_path))
+    assert abs(float(seq.intrinsics.fx) - 458.654) < 1e-3  # f32 storage
+
+
+def test_tum_rgb_txt_real_format(tmp_path):
+    import shutil
+
+    shutil.copy(os.path.join(FIXTURES, "tum_rgb.txt"), tmp_path / "rgb.txt")
+    rgb = tmp_path / "rgb"
+    rgb.mkdir()
+    from viso_tpu.data import png_io
+
+    img = (np.arange(48 * 64, dtype=np.uint8).reshape(48, 64)) % 251
+    for name in (
+        "1305031102.175304.png",
+        "1305031102.211214.png",
+        "1305031102.243211.png",
+    ):
+        png_io.write_gray_png(str(rgb / name), img)
+    seq = datasets.load_tum(str(tmp_path))
+    frames = list(seq.frames)
+    # CRLF + comment headers parsed; all three frames load.
+    assert len(frames) == 3
+    assert frames[0].timestamp == 1305031102.175304
+    assert frames[0].image.shape == (48, 64)

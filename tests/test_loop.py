@@ -113,3 +113,121 @@ def test_loop_database_detects_revisit(rng):
     )
     assert ang < 0.5
     assert np.linalg.norm(cand.t_rel - t_gt) < 0.05
+
+
+def test_loop_database_ring_wrap(rng):
+    """Once full, the DB recycles oldest slots (no silent stop at
+    capacity) and detection returns the caller's node_id, not the slot."""
+    scene = synthetic.corridor_scene(rng, tex_size=512)
+    intr = camera.Intrinsics.create(200.0, 200.0, 127.5, 95.5)
+    H, W = 192, 256
+    params = loop_closure.LoopParams(
+        capacity=4, num_features=64, guard=1, min_matches=20, min_inliers=15
+    )
+    db = loop_closure.LoopDatabase(params)
+
+    def add_at(node, tz):
+        R = np.eye(3, dtype=np.float32)
+        t = np.array([0.0, 0.0, tz], np.float32)
+        img, _ = scene.render(intr, R, t, H, W)
+        uv, s, m = fast.detect_grid(
+            jnp.array(img), threshold=10.0, grid=(4, 4), per_cell=4
+        )
+        depths = scene.depth_at(intr, R, t, np.asarray(uv)).astype(np.float32)
+        okp = np.isfinite(depths) & np.asarray(m)
+        pts_cam = camera.backproject(uv, jnp.array(np.nan_to_num(depths)), intr)
+        from viso_tpu.geometry import se3
+        Ri, ti = map(np.asarray, se3.inverse(jnp.array(R), jnp.array(t)))
+        pts_w = np.asarray(pts_cam) @ Ri.T + ti
+        db.add(jnp.array(img), uv, m, pts_w, okp, R, t, node, node_id=node)
+        return img, uv, m, R, t
+
+    # 6 entries into a 4-slot ring: nodes 0,1 age out.
+    entries = [add_at(k, -1.2 * k) for k in range(6)]
+    assert db.total == 6 and db.count == 4
+    assert set(db.node_id.tolist()) == {2, 3, 4, 5}
+
+    # Revisit node 2's viewpoint (slightly offset): must resolve to
+    # node_id 2 even though the ring has wrapped.
+    from viso_tpu.geometry import se3
+    xi = jnp.array([0.03, -0.02, 0.02, 0.008, -0.01, 0.004], jnp.float32)
+    dR, dt = se3.se3_exp(xi)
+    R2 = np.eye(3, dtype=np.float32)
+    t2 = np.array([0.0, 0.0, -2.4], np.float32)
+    R_re, t_re = map(np.asarray, se3.compose(dR, dt, jnp.array(R2), jnp.array(t2)))
+    img_re, _ = scene.render(intr, R_re, t_re, H, W)
+    uv_re, s_re, m_re = fast.detect_grid(
+        jnp.array(img_re), threshold=10.0, grid=(4, 4), per_cell=4
+    )
+    cand = db.detect(jnp.array(img_re), uv_re, m_re, R_re, t_re, intr)
+    assert cand is not None
+    assert cand.db_index == 2
+
+
+def test_pose_graph_padded_multi_loop(rng):
+    """300-node drifted circle + loop edges through the bucketed
+    (trace-stable) solve_padded path."""
+    from viso_tpu.backend import pose_graph
+    from viso_tpu.geometry import se3
+
+    K = 300
+    # Ground truth: a circle. Camera k at angle theta_k.
+    thetas = np.linspace(0, 2 * np.pi, K, endpoint=False)
+    radius = 20.0
+    R_gt, t_gt = [], []
+    for th in thetas:
+        c, s = np.cos(th), np.sin(th)
+        Rwc = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        center = np.array([radius * np.sin(th), 0.0, radius * (1 - np.cos(th))],
+                          np.float32)
+        R_gt.append(Rwc)
+        t_gt.append(-Rwc @ center)
+    # Odometry edges with a small consistent bias -> accumulated drift.
+    edges = []
+    import jax.numpy as jnp2
+    bias = jnp2.array([0.002, 0.0, -0.001, 0.0, 0.0005, 0.0], jnp2.float32)
+    dRb, dtb = se3.se3_exp(bias)
+    pg_R, pg_t = [R_gt[0]], [t_gt[0]]
+    for k in range(1, K):
+        R_rel, t_rel = se3.relative(
+            jnp2.array(R_gt[k - 1]), jnp2.array(t_gt[k - 1]),
+            jnp2.array(R_gt[k]), jnp2.array(t_gt[k]),
+        )
+        R_rel, t_rel = se3.compose(dRb, dtb, R_rel, t_rel)
+        edges.append((k - 1, k, np.asarray(R_rel), np.asarray(t_rel), 1.0))
+        # Integrate the drifted odometry for the initial guess:
+        # T_{k-1} = T_rel o T_k  =>  T_k = T_rel^-1 o T_{k-1}.
+        Ri, ti = se3.compose(
+            *se3.inverse(R_rel, t_rel), jnp2.array(pg_R[-1]), jnp2.array(pg_t[-1])
+        )
+        pg_R.append(np.asarray(Ri))
+        pg_t.append(np.asarray(ti))
+    # Exact loop edges: closure to the start and two mid-loops.
+    for (a, b) in [(0, K - 1), (50, 250), (100, 200)]:
+        R_rel, t_rel = se3.relative(
+            jnp2.array(R_gt[a]), jnp2.array(t_gt[a]),
+            jnp2.array(R_gt[b]), jnp2.array(t_gt[b]),
+        )
+        edges.append((a, b, np.asarray(R_rel), np.asarray(t_rel), 10.0))
+
+    drift_before = np.linalg.norm(
+        np.asarray(pg_t[-1]) - np.asarray(t_gt[-1])
+    )
+    out, info = pose_graph.solve_padded(
+        pg_R, pg_t, edges, pose_graph.PGParams(iters=30)
+    )
+    assert out.R.shape[0] == 512  # bucketed
+    assert float(info["final_cost"]) < 0.1 * float(info["initial_cost"])
+    # Endpoint drift must collapse after correction.
+    c_out = np.asarray(out.t)[K - 1]
+    drift_after = np.linalg.norm(c_out - np.asarray(t_gt[-1]))
+    assert drift_after < 0.3 * drift_before, (drift_before, drift_after)
+
+
+def test_pose_graph_bucketing_trace_stable():
+    """K=300 and K=310 land in the same padded bucket (no retrace)."""
+    from viso_tpu.backend import pose_graph
+
+    assert pose_graph._bucket(300) == pose_graph._bucket(310) == 512
+    assert pose_graph._bucket(3) == 16
+    assert pose_graph._bucket(513) == 1024

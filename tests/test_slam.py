@@ -83,3 +83,65 @@ def test_slam_orbit_closes_loop(room):
     # (orbit circumference ~12.6 m).
     assert ate_pg < 0.85 * ate_odo, (ate_pg, ate_odo)
     assert ate_pg < 2.0, ate_pg
+
+    # Per-frame trajectory() must live in ONE world frame: frames
+    # recorded before a correction are epoch-mapped forward, so the last
+    # recorded pose must coincide with the live (corrected) pose.
+    R_all, t_all = slam.trajectory()
+    assert np.allclose(R_all[-1], np.asarray(slam.R), atol=1e-5)
+    assert np.allclose(t_all[-1], np.asarray(slam.t), atol=1e-4)
+    c_frames = metrics.camera_centers(R_all, t_all)
+    kf_frames_idx = list(pg_frames)
+    # Keyframe-frame rows of the per-frame trajectory should be close to
+    # the pose-graph solution for RECENT keyframes (older ones keep
+    # their online-estimate drift; the epoch map only fixes frame
+    # consistency, not hindsight).
+    d_last = np.linalg.norm(
+        c_frames[kf_frames_idx[-1]] - metrics.camera_centers(pg_R, pg_t)[-1]
+    )
+    assert d_last < 0.2, d_last
+
+
+def test_slam_loop_after_db_wrap(room):
+    """The loop database is a ring: on a second orbit lap, with total
+    keyframes exceeding capacity, loops must still close against lap-1
+    entries that remain in the ring (round-1 behavior was a hard stop at
+    capacity — KITTI-scale sequences silently lost loop closure)."""
+    from viso_tpu.geometry import camera
+
+    n = 144  # two gentle laps
+    intr = camera.Intrinsics.create(**INTR)
+    Rs, ts = synthetic.orbit_trajectory(n, radius=2.0, total_angle=4 * np.pi)
+    frames = []
+    for R, t in zip(Rs, ts):
+        il, ir, _ = synthetic.make_stereo_pair(
+            room, intr, R, t, H, W, baseline=0.25
+        )
+        frames.append((il, ir))
+
+    cfg = VOConfig(
+        height=H, width=W, baseline=0.25,
+        max_keyframes=6, max_landmarks=512, num_features=128,
+        detect_grid=(4, 4), fast_threshold=12.0, max_disparity=48,
+        kf_min_gap=1, kf_min_visible_frac=0.7, **INTR,
+    )
+    loop_params = LoopParams(
+        capacity=32, num_features=128, guard=8, min_matches=25, min_inliers=15
+    )
+    slam = StereoSLAM(cfg, loop_params)
+    for il, ir in frames:
+        slam.process(il, ir)
+    slam.close()
+
+    assert slam.loop_db.total > loop_params.capacity, (
+        "test did not exercise ring wrap",
+        slam.loop_db.total,
+    )
+    # Loops must close after the wrap point.
+    post_wrap = [
+        lp for lp in slam.loops if lp["from"] >= loop_params.capacity
+    ]
+    assert post_wrap, (slam.loops, slam.loop_db.total)
+    # Every loop edge must reference a node that was in the ring then.
+    for lp in slam.loops:
+        assert 0 <= lp["to"] < lp["from"]

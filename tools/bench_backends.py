@@ -1,0 +1,100 @@
+"""Window-BA backend shoot-out: reprojection vs photometric.
+
+Runs the same synthetic stereo corridor through StereoVO twice — once
+per backend — and reports ATE + wall-clock per keyframe-BA call. The
+photometric backend realizes the reference's stated intent (16-dim
+4x4-patch intensity residuals, bundle_adjuster.h:58-106); reprojection
+is the geometric default for stereo.
+
+Usage: python tools/bench_backends.py [--frames 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def run_backend(backend, frames, cfg_kw):
+    import jax
+
+    from viso_tpu.slam.engine import StereoVO, VOConfig
+    from viso_tpu.utils import metrics
+
+    vo = StereoVO(VOConfig(ba_backend=backend, **cfg_kw))
+    # Wrap the BA kernel to time it (after its first compiled call).
+    ba_times = []
+    orig = vo._run_window_ba
+
+    def timed(fixed_slots):
+        t0 = time.perf_counter()
+        out = orig(fixed_slots)
+        jax.block_until_ready(out)
+        ba_times.append(time.perf_counter() - t0)
+        return out
+
+    vo._run_window_ba = timed
+    t0 = time.perf_counter()
+    for il, ir in frames:
+        vo.process(il, ir)
+    jax.block_until_ready((vo.R, vo.t))
+    wall = time.perf_counter() - t0
+    R_est, t_est = vo.trajectory()
+    vo.close()
+    return metrics.camera_centers(R_est, t_est), ba_times, wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40)
+    args = ap.parse_args()
+
+    from viso_tpu.data import synthetic
+    from viso_tpu.geometry import camera
+    from viso_tpu.utils import metrics
+
+    H, W = 240, 768
+    intr_kw = dict(fx=360.0, fy=360.0, cx=W / 2 - 0.5, cy=H / 2 - 0.5)
+    cfg_kw = dict(
+        height=H, width=W, baseline=0.5, num_features=256,
+        max_landmarks=1024, detect_grid=(4, 8), fast_threshold=15.0,
+        max_disparity=96, kf_min_gap=2, kf_max_gap=6, **intr_kw,
+    )
+    rng = np.random.default_rng(42)
+    scene = synthetic.corridor_scene(rng, tex_size=1024)
+    intr = camera.Intrinsics.create(**intr_kw)
+    Rs, ts = synthetic.forward_trajectory(args.frames, step=0.5, yaw_rate=0.003)
+    frames = [
+        synthetic.make_stereo_pair(scene, intr, R, t, H, W, baseline=0.5)[:2]
+        for R, t in zip(Rs, ts)
+    ]
+    c_gt = metrics.camera_centers(Rs, ts)
+
+    for backend in ("reprojection", "photometric"):
+        c_est, ba_times, wall = run_backend(backend, frames, cfg_kw)
+        ate = metrics.ate_rmse(c_est, c_gt, align=True, with_scale=False)
+        # First BA call includes its compile; report steady-state.
+        steady = ba_times[1:] or ba_times
+        print(
+            json.dumps(
+                {
+                    "backend": backend,
+                    "ate_rmse_m": round(float(ate), 4),
+                    "ba_ms_per_keyframe": round(
+                        1e3 * float(np.mean(steady)), 2
+                    ),
+                    "ba_calls": len(ba_times),
+                    "wall_s": round(wall, 2),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,62 @@ def _gn_step(R, t, graph: PoseGraph, lam, params: PGParams, K):
     return R_new, t_new
 
 
+def _bucket(n: int, floor: int = 16) -> int:
+    """Smallest power-of-two capacity >= n (>= floor)."""
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+def solve_padded(pg_R, pg_t, edges, params: PGParams = PGParams()):
+    """Solve a growing pose graph with power-of-two shape bucketing.
+
+    `pg_R`/`pg_t`: lists/arrays of world->cam poses; `edges`: list of
+    (i, j, R_ij, t_ij, weight). Nodes and edges are padded to the next
+    power-of-two capacity with masked slots, so a live SLAM run retraces
+    `solve` only O(log K) times over its whole lifetime instead of once
+    per loop event (padded dims double ~5 times from 16 to 512).
+    Returns (PoseGraph, info) with padded arrays — slice [:len(pg_R)].
+    """
+    import numpy as np
+
+    K = len(pg_R)
+    E = len(edges)
+    Kp = _bucket(K)
+    Ep = _bucket(E)
+
+    R = np.zeros((Kp, 3, 3), np.float32)
+    R[:] = np.eye(3)
+    t = np.zeros((Kp, 3), np.float32)
+    R[:K] = np.stack(pg_R)
+    t[:K] = np.stack(pg_t)
+    node_mask = np.zeros(Kp, bool)
+    node_mask[:K] = True
+
+    ei = np.zeros(Ep, np.int32)
+    ej = np.zeros(Ep, np.int32)
+    R_ij = np.zeros((Ep, 3, 3), np.float32)
+    R_ij[:] = np.eye(3)
+    t_ij = np.zeros((Ep, 3), np.float32)
+    w = np.zeros(Ep, np.float32)
+    edge_mask = np.zeros(Ep, bool)
+    for k, (i, j, Rm, tm, wt) in enumerate(edges):
+        ei[k], ej[k] = i, j
+        R_ij[k], t_ij[k] = Rm, tm
+        w[k] = wt
+        edge_mask[k] = True
+
+    g = PoseGraph(
+        R=jnp.asarray(R), t=jnp.asarray(t),
+        node_mask=jnp.asarray(node_mask),
+        edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+        R_ij=jnp.asarray(R_ij), t_ij=jnp.asarray(t_ij),
+        edge_weight=jnp.asarray(w), edge_mask=jnp.asarray(edge_mask),
+    )
+    return solve(g, params)
+
+
 @partial(jax.jit, static_argnames=("params",))
 def solve(graph: PoseGraph, params: PGParams = PGParams()):
     """LM pose-graph optimization; returns (graph, info)."""

@@ -76,17 +76,44 @@ def load_image_dir(location: str, start: int = 1) -> Iterator[Frame]:
 # ---------------------------------------------------------------------------
 
 def _kitti_calib(seq_dir):
-    """Parse calib.txt -> (Intrinsics, baseline) from P0/P1."""
+    """Parse calib.txt -> (Intrinsics, baseline) from P0/P1.
+
+    Tolerates the quirks of real KITTI headers — CRLF line endings,
+    comment lines, extra cameras (P2/P3) and the `Tr:` velodyne row —
+    and fails LOUDLY (ValueError naming the file) on anything malformed
+    instead of crashing downstream with a cryptic shape error.
+    """
     path = os.path.join(seq_dir, "calib.txt")
     P = {}
-    with open(path) as f:
-        for line in f:
-            if ":" in line:
-                key, vals = line.split(":", 1)
-                P[key.strip()] = np.fromstring(vals, sep=" ").reshape(3, 4)
+    with open(path, newline="") as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.strip()  # handles \r\n and stray whitespace
+            if not line or line.startswith("#"):
+                continue
+            if ":" not in line:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 'KEY: v0 v1 ...', got {line!r}"
+                )
+            key, vals = line.split(":", 1)
+            key = key.strip()
+            try:
+                arr = np.array([float(v) for v in vals.split()], np.float64)
+            except ValueError as e:
+                raise ValueError(f"{path}:{lineno}: non-numeric value ({e})")
+            if key.startswith("P"):
+                if arr.size != 12:
+                    raise ValueError(
+                        f"{path}:{lineno}: {key} needs 12 values, got {arr.size}"
+                    )
+                P[key] = arr.reshape(3, 4)
+            # Tr / R0_rect etc. are valid but unused here.
     P0 = P.get("P0")
+    if P0 is None:
+        raise ValueError(f"{path}: no P0 projection matrix found")
     P1 = P.get("P1")
     fx, fy, cx, cy = P0[0, 0], P0[1, 1], P0[0, 2], P0[1, 2]
+    if fx <= 0 or fy <= 0:
+        raise ValueError(f"{path}: non-positive focal length in P0: {fx}, {fy}")
     baseline = -P1[0, 3] / P1[0, 0] if P1 is not None else 0.0
     return camera.Intrinsics.create(fx, fy, cx, cy), float(baseline)
 
@@ -221,13 +248,50 @@ def _tum_groundtruth(path, timestamps):
 EUROC_CAM0 = dict(fx=458.654, fy=457.296, cx=367.215, cy=248.375)
 
 
+def _euroc_sensor_yaml(path):
+    """Parse a real EuRoC mav0/camX/sensor.yaml -> intrinsics dict.
+
+    Real files carry comments, an opencv-matrix block for T_BS, and
+    rate/resolution/distortion fields; only `intrinsics: [fx, fy, cx, cy]`
+    is needed here. Fails loudly (ValueError naming the file) when the
+    field is missing or malformed.
+    """
+    import yaml
+
+    with open(path, newline="") as f:
+        try:
+            doc = yaml.safe_load(f)
+        except yaml.YAMLError as e:
+            raise ValueError(f"{path}: invalid YAML ({e})")
+    if not isinstance(doc, dict) or "intrinsics" not in doc:
+        raise ValueError(f"{path}: no `intrinsics` field")
+    vals = doc["intrinsics"]
+    if not isinstance(vals, (list, tuple)) or len(vals) != 4:
+        raise ValueError(
+            f"{path}: `intrinsics` must be [fx, fy, cx, cy], got {vals!r}"
+        )
+    fx, fy, cx, cy = (float(v) for v in vals)
+    if fx <= 0 or fy <= 0:
+        raise ValueError(f"{path}: non-positive focal length {fx}, {fy}")
+    return dict(fx=fx, fy=fy, cx=cx, cy=cy)
+
+
 def load_euroc(root: str, calib=None, max_frames=None) -> Sequence:
     """EuRoC ASL layout: root/mav0/cam0/data/<ts>.png + data.csv.
 
-    Images are distorted (radtan); for full accuracy undistort upstream —
-    the loader exposes raw frames plus the pinhole part of the intrinsics.
+    Calibration comes from mav0/cam0/sensor.yaml when present (the real
+    dataset always ships it); `calib` overrides, and the published cam0
+    values are the last resort. Images are distorted (radtan); for full
+    accuracy undistort upstream — the loader exposes raw frames plus the
+    pinhole part of the intrinsics.
     """
-    calib = calib or EUROC_CAM0
+    if calib is None:
+        yaml_path = os.path.join(root, "mav0", "cam0", "sensor.yaml")
+        calib = (
+            _euroc_sensor_yaml(yaml_path)
+            if os.path.exists(yaml_path)
+            else EUROC_CAM0
+        )
     intr = camera.Intrinsics.create(**calib)
     cam_dir = os.path.join(root, "mav0", "cam0")
     csv = os.path.join(cam_dir, "data.csv")

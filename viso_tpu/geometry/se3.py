@@ -75,16 +75,27 @@ def so3_log(R):
     """
     R = jnp.asarray(R)
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    # d(arccos)/dx is infinite at x = +-1: an exact-identity input (e.g. a
+    # masked/padded pose-graph edge) would poison forward/reverse AD with
+    # NaN *through* the jnp.where below (both branches' tangents are
+    # computed). Keep arccos's input strictly inside (-1, 1) and feed the
+    # near-identity branch a smooth theta^2 surrogate instead of theta.
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
+    skew = vee(R - jnp.swapaxes(R, -1, -2))          # = 2 sin(theta) axis
+    near_zero = cos_theta > 1.0 - 5e-5               # theta < ~1e-2
+    theta = jnp.where(near_zero, 0.0, jnp.arccos(cos_theta))
+    # |skew|^2 = 4 sin^2(theta): smooth everywhere, and near zero
+    # theta^2 = |skew|^2/4 + O(theta^4) — more than enough for the
+    # quadratic Taylor term below.
+    theta_sq_t = jnp.sum(skew * skew, axis=-1) * 0.25
     # Generic branch: theta / (2 sin theta) * (R - R^T)^vee
     sin_theta = jnp.sin(theta)
     generic_scale = jnp.where(
-        theta < 1e-2,
-        0.5 + theta * theta / 12.0,  # Taylor of theta/(2 sin theta)
+        near_zero,
+        0.5 + theta_sq_t / 12.0,  # Taylor of theta/(2 sin theta)
         theta / (2.0 * sin_theta + _EPS),
     )
-    w_generic = generic_scale[..., None] * vee(R - jnp.swapaxes(R, -1, -2))
+    w_generic = generic_scale[..., None] * skew
     # Near-pi branch: w = theta * axis, axis from largest diagonal of (R + I)/2
     S = R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
     diag = jnp.stack([S[..., 0, 0], S[..., 1, 1], S[..., 2, 2]], axis=-1)

@@ -163,6 +163,14 @@ def _level_pass_cached(img_cur, tmpl: LevelTemplate, points_w,
         [cur_win.shape[-1], cur_win.shape[-2]], img_cur.dtype
     )
 
+    # Upper scale clip derived from the cached window footprint: the
+    # in_win gate below needs ext = half*scale + 1 <= half + margin - 1,
+    # i.e. scale <= (half + margin - 2) / half. A fixed 2.0 clip with
+    # margin=4 made the gate unsatisfiable for near points on the exact-
+    # window path (scale > 1.5 silently dropped), while the TPU DMA
+    # tile's over-copy tolerated it — backend-dependent accuracy.
+    scale_hi = min(2.0, (half + margin - 2) / half)
+
     def compute_b(R, t):
         p_cur = se3.transform(R, t, points_w)
         uv_cur, d_cur = cam_mod.project(p_cur, intr_l)
@@ -172,7 +180,7 @@ def _level_pass_cached(img_cur, tmpl: LevelTemplate, points_w,
         # frozen unit pitch biases the GN — 10x ATE over a 5-frame
         # keyframe gap at ~1 m/frame.
         scale = jnp.clip(
-            tmpl.d_ref / jnp.maximum(d_cur, params.min_depth), 0.5, 2.0
+            tmpl.d_ref / jnp.maximum(d_cur, params.min_depth), 0.5, scale_hi
         )
         ext = half * scale[:, None] + 1.0
         # Samples beyond the cached window clamp to its border; treat a

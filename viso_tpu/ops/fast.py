@@ -46,14 +46,16 @@ def score_map(img, threshold: float):
     """Dense FAST-9 corner score (H, W); 0 where the segment test fails.
 
     Score = max(sum of brighter-arc excesses, sum of darker-arc excesses),
-    the usual OpenCV-style corner response family. Dispatches to the
-    Pallas VMEM-resident kernel on TPU backends when the image fits.
+    the usual OpenCV-style corner response family.
+
+    The padded-slice formulation below fuses into one elementwise pass
+    under XLA (no materialized shifted copies). A hand-written Pallas
+    variant (VMEM-resident, roll- and halo-slice-based) was tried in
+    rounds 1-2 and removed: Mosaic hangs >7 min compiling the 16-way
+    segment test at KITTI frame sizes on this toolchain, and the fused
+    XLA form is already memory-bound (one read, one write).
     """
     img = jnp.asarray(img, dtype=jnp.float32)
-    from viso_tpu.ops import fast_pallas
-
-    if fast_pallas.supported(img.shape):
-        return fast_pallas.score_map_pallas(img, float(threshold))
     circ = _shifted_stack(img)
     diff = circ - img[None]
     brighter = diff > threshold

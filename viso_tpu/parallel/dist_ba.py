@@ -11,10 +11,13 @@ Communication analysis: for C = 16 window cameras the reduced system is
 ~37 KB/iteration regardless of landmark count, so scaling efficiency is
 bounded by compute balance, not bandwidth — the landmark dimension is
 padded to a multiple of the mesh size and split evenly.
+`psum_bytes_per_iter` makes this analysis a first-class, benchmarkable
+quantity (tools/bench_dist_ba.py records it next to measured iters/s).
 """
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -40,28 +43,43 @@ def pad_landmarks(prob: ba.BAProblem, multiple: int) -> ba.BAProblem:
     )
 
 
-def solve_sharded(
-    prob: ba.BAProblem,
-    params: ba.BAParams = ba.BAParams(),
-    mesh: Mesh | None = None,
-):
-    """Distributed ba.solve over `mesh` (defaults to all devices).
+def psum_bytes_per_iter(num_cams: int, dtype_bytes: int = 4) -> int:
+    """Bytes each LM iteration all-reduces over the mesh.
 
-    Returns (BAProblem, info) like ba.solve; the input problem may have
-    any landmark count (padded internally).
+    Per _lm_iteration + schur_solve (backend/ba.py): U (C,6,6), g_c
+    (C,6), the Schur cross term S_cross (C,C,6,6) and b_cross (C,6),
+    plus two scalar cost psums (compute_cost x2: cost + n_obs each).
+    Independent of the landmark count — the whole point of the
+    landmark-sharded layout.
     """
-    from viso_tpu.parallel.mesh import make_mesh
+    C = num_cams
+    per_iter = (
+        C * 36        # U
+        + C * 6       # g_c
+        + C * C * 36  # S_cross
+        + C * 6       # b_cross
+        + 4           # two compute_cost calls: cost + n_obs
+    )
+    return per_iter * dtype_bytes
 
-    if mesh is None:
-        mesh = make_mesh()
-    n_dev = mesh.devices.size
-    prob_p = pad_landmarks(prob, n_dev)
-    L = prob_p.points.shape[0]
 
+@functools.lru_cache(maxsize=32)
+def make_sharded_solver(mesh: Mesh, params: ba.BAParams):
+    """A reusable jitted landmark-sharded BA solver over `mesh`.
+
+    Cached per (mesh, params): engine loops call this every keyframe and
+    must reuse one executable (re-wrapping shard_map per call would
+    re-trace and re-compile; jit's own cache then keys on shapes).
+
+    The returned fn takes a BAProblem whose landmark axis is already a
+    multiple of the mesh size (see pad_landmarks) and returns
+    (BAProblem, info) like ba.solve.
+    """
     lm_specs = ba.BAProblem(
         R=P(), t=P(), points=P(LANDMARK_AXIS),
         obs_uv=P(None, LANDMARK_AXIS), obs_mask=P(None, LANDMARK_AXIS),
         cam_mask=P(), point_mask=P(LANDMARK_AXIS),
+        cam_fixed=P(),
     )
     out_specs = (
         lm_specs,
@@ -81,7 +99,38 @@ def solve_sharded(
     def _run(p):
         return ba.solve_impl(p, params, axis_name=LANDMARK_AXIS)
 
-    out, info = jax.jit(_run)(prob_p)
+    def run(prob: ba.BAProblem):
+        # shard_map specs cover every leaf, including cam_fixed — give a
+        # problem without an explicit gauge mask an all-False one.
+        if prob.cam_fixed is None:
+            prob = prob._replace(
+                cam_fixed=jnp.zeros(prob.R.shape[0], bool)
+            )
+        return _run(prob)
+
+    return jax.jit(run)
+
+
+def solve_sharded(
+    prob: ba.BAProblem,
+    params: ba.BAParams = ba.BAParams(),
+    mesh: Mesh | None = None,
+):
+    """Distributed ba.solve over `mesh` (defaults to all devices).
+
+    Returns (BAProblem, info) like ba.solve; the input problem may have
+    any landmark count (padded internally). The underlying sharded
+    executable is cached per (mesh, params) — repeat calls with equal
+    shapes hit the jit cache.
+    """
+    from viso_tpu.parallel.mesh import make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    prob_p = pad_landmarks(prob, n_dev)
+
+    out, info = make_sharded_solver(mesh, params)(prob_p)
     # Strip padding.
     L0 = prob.points.shape[0]
     out = out._replace(
@@ -90,5 +139,4 @@ def solve_sharded(
         obs_mask=out.obs_mask[:, :L0],
         point_mask=out.point_mask[:L0],
     )
-    del L
     return out, info

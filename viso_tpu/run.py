@@ -40,6 +40,8 @@ def build_engine(seq, args):
         max_keyframes=args.max_keyframes,
         fast_threshold=args.fast_threshold,
         ba_backend=args.ba_backend,
+        distribute_ba=args.distribute,
+        mesh_devices=args.mesh_devices,
     )
     if args.init_disparity_px:
         cfg = dataclasses.replace(
@@ -71,9 +73,16 @@ def main(argv=None):
     # 0 = keep the config default.
     ap.add_argument("--init-disparity-px", type=float, default=0.0)
     # Window-BA residual type; "photometric" is the reference's stated
-    # backend intent (bundle_adjuster.h:58-106).
-    ap.add_argument("--ba-backend", choices=["reprojection", "photometric"],
-                    default="reprojection")
+    # backend intent (bundle_adjuster.h:58-106). "auto" = photometric
+    # for mono, reprojection for stereo/slam.
+    ap.add_argument("--ba-backend",
+                    choices=["auto", "reprojection", "photometric"],
+                    default="auto")
+    # Distributed window BA over every visible device (north-star
+    # config 5): landmark-sharded LM+Schur, reduced camera system psum'd
+    # over the mesh (parallel/dist_ba.py).
+    ap.add_argument("--distribute", action="store_true")
+    ap.add_argument("--mesh-devices", type=int, default=0)
     ap.add_argument("--height", type=int, default=0)
     ap.add_argument("--width", type=int, default=0)
     ap.add_argument("--out-dir", default="out")

@@ -91,18 +91,36 @@ class VOConfig:
     # additionally ignore samples older than the newest keyframe, so
     # staleness can exceed kf_min_gap without re-triggering inserts.
     stats_max_lag: int = 2
+    # Hard bound on stats staleness IN FRAMES: the frame loop force-joins
+    # the oldest in-flight fetch once it is this many frames old, which
+    # also backpressures dispatch when it outruns device compute.
+    # 0 = stats_max_lag. This is the throughput/reactivity dial: a fetch
+    # lands naturally in ~RTT/frame_time frames (~7 on the tunneled
+    # v5e, ~0 on a PCIe host), so hard bounds above that never block and
+    # keep the dispatch loop at device speed, while lower values trade
+    # blocked readback time for faster keyframe/lost reactions.
+    stats_hard_lag: int = 0
 
     # Backend
     ba_iters: int = 8
     ba_huber_px: float = 3.0
     ba_trunc_px: float = 10.0
     run_ba: bool = True
-    # "reprojection" (geometric, backend/ba.py) or "photometric" — the
+    # "reprojection" (geometric, backend/ba.py), "photometric" — the
     # reference's stated intent: 16-dim 4x4-patch intensity residuals
-    # (bundle_adjuster.h:58-106; backend/ba_photometric.py).
-    ba_backend: str = "reprojection"
+    # (bundle_adjuster.h:58-106; backend/ba_photometric.py) — or "auto":
+    # photometric for MonocularVO (the reference is a monocular system
+    # and its dead backend is photometric), reprojection for stereo.
+    ba_backend: str = "auto"
     photo_ba_level: int = 1      # pyramid level photometric residuals run on
     photo_ba_huber: float = 12.0  # gray levels
+    # Distributed window BA (north-star config 5): landmark-sharded
+    # LM+Schur over a device mesh (parallel/dist_ba.py) — camera blocks
+    # replicated, landmarks + their Schur marginalization shard-local,
+    # only the (6C)^2 reduced system psum'd over ICI. Requires the
+    # reprojection backend. mesh_devices=0 uses every visible device.
+    distribute_ba: bool = False
+    mesh_devices: int = 0
 
     # Stereo
     max_disparity: int = 128
@@ -123,6 +141,10 @@ class FrameResult:
     num_landmarks: int = 0
     is_keyframe: bool = False
     state: str = "init"
+    # World-frame epoch at record time: each loop-closure correction
+    # re-maps the world (slam/full.py); trajectory() composes the
+    # per-epoch corrections so all frames land in the FINAL frame.
+    epoch: int = 0
 
 
 class BaseVO:
@@ -334,6 +356,83 @@ class BaseVO:
             self.map, slot
         )
 
+    # Per-engine default when cfg.ba_backend == "auto" (MonocularVO
+    # overrides to "photometric" — the reference's stated backend intent).
+    _default_ba_backend = "reprojection"
+
+    def _ba_backend(self) -> str:
+        b = self.cfg.ba_backend
+        if b == "auto":
+            b = self._default_ba_backend
+        if self.cfg.distribute_ba:
+            if b == "photometric" and self.cfg.ba_backend != "auto":
+                raise ValueError(
+                    "distribute_ba supports only the reprojection backend"
+                )
+            b = "reprojection"
+        return b
+
+    def _build_dist_ba_kernel(self):
+        """Window BA over a device mesh (north-star config 5).
+
+        Three cached executables per engine: a single-device prep
+        (problem build + landmark padding), the shared landmark-sharded
+        LM+Schur solver (parallel/dist_ba.make_sharded_solver — cached,
+        NOT re-wrapped per call), and a single-device finish (write-back
+        + newest-pose extraction). Explicit device_put moves the problem
+        onto the mesh and the solution back to device 0 so every other
+        engine kernel stays single-device.
+        """
+        import jax.sharding as jshard
+
+        from viso_tpu.parallel import dist_ba, mesh as mesh_mod
+
+        cfg = self.cfg
+        intr = self.intr
+        mesh = mesh_mod.make_mesh(cfg.mesh_devices or None)
+        n_dev = mesh.devices.size
+        params = ba.BAParams(
+            iters=cfg.ba_iters,
+            huber=cfg.ba_huber_px / cfg.fx,
+            trunc=cfg.ba_trunc_px / cfg.fx,
+            num_fixed=0,
+        )
+        solver = dist_ba.make_sharded_solver(mesh, params)
+        L0 = cfg.max_landmarks
+
+        @jax.jit
+        def prep(m: map_state.MapState, cam_fixed):
+            prob = map_state.as_ba_problem(m, intr)
+            prob = prob._replace(cam_fixed=cam_fixed)
+            return dist_ba.pad_landmarks(prob, n_dev)
+
+        @jax.jit
+        def finish(m: map_state.MapState, R, t, points, pose_slot):
+            m = map_state.update_from_ba(m, R, t, points[:L0])
+            return m, m.kf_R[pose_slot], m.kf_t[pose_slot]
+
+        P = jshard.PartitionSpec
+        shard_l = jshard.NamedSharding(mesh, P(mesh_mod.LANDMARK_AXIS))
+        shard_cl = jshard.NamedSharding(mesh, P(None, mesh_mod.LANDMARK_AXIS))
+        repl = jshard.NamedSharding(mesh, P())
+        in_shardings = ba.BAProblem(
+            R=repl, t=repl, points=shard_l, obs_uv=shard_cl,
+            obs_mask=shard_cl, cam_mask=repl, point_mask=shard_l,
+            cam_fixed=repl,
+        )
+        dev0 = jax.devices()[0]
+
+        def run(m, cam_fixed, pose_slot):
+            prob = jax.device_put(prep(m, cam_fixed), in_shardings)
+            out, info = solver(prob)
+            R, t, points, cost = jax.device_put(
+                (out.R, out.t, out.points, info["final_cost"]), dev0
+            )
+            m, R_new, t_new = finish(m, R, t, points, pose_slot)
+            return m, cost, R_new, t_new
+
+        return run
+
     def _run_window_ba(self, fixed_slots):
         cfg = self.cfg
         cam_fixed = np.zeros(cfg.max_keyframes, bool)
@@ -341,7 +440,9 @@ class BaseVO:
             cam_fixed[s] = True
         if "ba" not in self._kernels:
             intr = self.intr
-            if cfg.ba_backend == "photometric":
+            if cfg.distribute_ba:
+                run_ba = self._build_dist_ba_kernel()
+            elif self._ba_backend() == "photometric":
                 from viso_tpu.backend import ba_photometric as pba
 
                 pparams = pba.PhotoBAParams(
@@ -409,32 +510,59 @@ class BaseVO:
         )
         self.prev_R, self.prev_t = self.R, self.t
         self.R, self.t = R_new, t_new
-        # Kick off the device->host copy NOW so the background reader's
-        # np.asarray finds the bytes already in flight (saves one ~30 ms
-        # tunnel RTT of queueing on a remote-attached chip).
-        try:
-            stats.copy_to_host_async()
-        except AttributeError:
-            pass
         q = getattr(self, "_pending_stats_q", None)
         if q is None:
             q = self._pending_stats_q = []
             import concurrent.futures
 
-            # 4 workers: one D2H fetch costs ~an RTT behind a tunneled
-            # chip; overlapping fetches keeps stats throughput above the
-            # frame rate so the force-join below never fires steady-state.
+            # One worker per allowed in-flight fetch so every queued
+            # fetch is always making progress (a starved fetch would
+            # never report done()).
             self._stats_reader = concurrent.futures.ThreadPoolExecutor(
-                max_workers=4, thread_name_prefix="viso-stats"
+                max_workers=max(2, self.cfg.stats_max_lag),
+                thread_name_prefix="viso-stats",
             )
-        q.append((self.frame_idx, self._stats_reader.submit(np.asarray, stats)))
-        # Consume every fetch that has landed host-side; force-join the
-        # oldest only when the queue exceeds stats_max_lag (bounds
-        # decision staleness without ever blocking in the common case).
+        # Submit a fetch only when the pipeline has room: the stats
+        # SAMPLING RATE self-adjusts to the link's D2H throughput. The
+        # round-1 design force-joined the oldest fetch once the queue
+        # exceeded stats_max_lag — measured on the tunneled v5e, that
+        # capped the whole dispatch loop at ~64 ms/frame (serialized
+        # ~30 ms readbacks) while the device needed 5 ms/frame.
+        if len(q) < max(1, self.cfg.stats_max_lag):
+            try:
+                # Start the D2H copy NOW so the worker's np.asarray
+                # finds the bytes already in flight.
+                stats.copy_to_host_async()
+            except AttributeError:
+                pass
+            q.append(
+                (self.frame_idx, self._stats_reader.submit(np.asarray, stats))
+            )
+        # Consume every fetch that has landed host-side (non-blocking).
         consumed = None
-        while q and (q[0][1].done() or len(q) > max(1, self.cfg.stats_max_lag)):
+        while q and q[0][1].done():
             f, fut = q.pop(0)
             consumed = (f, fut.result())
+        # Hard staleness bound: a fetch completes only when ITS frame's
+        # device compute has finished, so on a backend where dispatch
+        # outruns compute (CPU tests dispatch in ~1 ms while a frame
+        # computes for ~50-100 ms) a purely non-blocking loop races
+        # unboundedly ahead and no sample ever lands — keyframe / lost
+        # decisions then degrade to the blind gap schedule, and the
+        # in-flight work queue grows without bound. Force-joining the
+        # oldest fetch once it is `hard` FRAMES old (age-based, unlike
+        # round 1's queue-occupancy join) applies backpressure exactly
+        # when dispatch outruns compute, bounding both staleness and
+        # pipeline depth. On the tunneled TPU a fetch lands naturally in
+        # ~RTT/frame_time ≈ 7 frames < hard, so steady state never
+        # blocks and throughput stays at the device's 5 ms/frame.
+        hard = self.cfg.stats_hard_lag or max(1, self.cfg.stats_max_lag)
+        if q and self.frame_idx - q[0][0] >= hard:
+            f, fut = q.pop(0)
+            consumed = (f, fut.result())
+            while q and q[0][1].done():   # drain anything newer that landed
+                f, fut = q.pop(0)
+                consumed = (f, fut.result())
         if consumed is not None:
             self._stats_frame = consumed[0]
             n_tracked, n_points = (int(v) for v in consumed[1])
@@ -445,11 +573,47 @@ class BaseVO:
         n_tracked = getattr(self, "_n_tracked_cache", self.cfg.num_features)
         return ok_align, refined, n_tracked, pyr
 
+    def close(self):
+        """Release the background stats reader (threads are otherwise
+        only reclaimed at interpreter exit)."""
+        ex = getattr(self, "_stats_reader", None)
+        if ex is not None:
+            self._stats_reader = None
+            ex.shutdown(wait=False, cancel_futures=True)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _stats_fresh(self) -> bool:
         """True when the last consumed stats sample postdates the newest
         keyframe — i.e. it reflects the post-insert map. Pre-insert
         samples must not drive keyframe / lost-tracking decisions."""
         return getattr(self, "_stats_frame", -1) > self.last_kf_frame
+
+    def _update_lost(self, n_tracked) -> bool:
+        """Advance the lost-tracking counter; True = force recovery now.
+
+        Only FRESH stats samples move the counter (a stale sample is
+        pre-insert evidence: it neither confirms loss nor recovery, so
+        the counter holds — resetting on staleness would starve recovery
+        behind a deep stats pipeline, where every keyframe insert makes
+        several following frames stale). Generalizes the reference's
+        blanket re-seed every `reinitialize_after` frames
+        (viso.h:20, viso.cpp:14,100-108) into evidence-driven recovery.
+        """
+        cfg = self.cfg
+        if self._stats_fresh():
+            if n_tracked < cfg.min_lost_points:
+                self._lost_count = getattr(self, "_lost_count", 0) + 1
+            else:
+                self._lost_count = 0
+        forced = getattr(self, "_lost_count", 0) >= cfg.lost_reinit_after
+        if forced:
+            self._lost_count = 0
+        return forced
 
     def _should_insert_keyframe(self, n_tracked):
         cfg = self.cfg
@@ -470,13 +634,34 @@ class BaseVO:
         )
 
     def trajectory(self):
-        # Results hold device arrays (no per-frame sync); pull here.
+        """Per-frame world->cam poses, all in the FINAL world frame.
+
+        Results hold device arrays (no per-frame sync); pulled in bulk
+        here. Frames recorded before a loop-closure world correction
+        (epoch e < latest) are mapped forward by the accumulated
+        correction M_e (p_final = M_e p_e), using the same composition
+        the live map received: R' = R M_e^-1 (rotation part),
+        t' = R (M_e^-1 t-part) + t.
+        """
         R = np.stack([np.asarray(r.R) for r in self.results])
         t = np.stack([np.asarray(r.t) for r in self.results])
+        maps = getattr(self, "_epoch_maps", None)
+        if maps is not None and len(maps) > 1:
+            epochs = np.array([r.epoch for r in self.results])
+            for e, (M_R, M_t) in enumerate(maps[:-1]):
+                sel = epochs == e
+                if not sel.any():
+                    continue
+                Mi_R = M_R.T
+                Mi_t = -M_R.T @ M_t
+                t[sel] = np.einsum("nij,j->ni", R[sel], Mi_t) + t[sel]
+                R[sel] = np.einsum("nij,jk->nik", R[sel], Mi_R)
         return R, t
 
     def _record(self, **kw):
-        self.results.append(FrameResult(R=self.R, t=self.t, **kw))
+        self.results.append(
+            FrameResult(R=self.R, t=self.t, epoch=getattr(self, "_epoch", 0), **kw)
+        )
 
 
 class StereoVO(BaseVO):
@@ -531,14 +716,8 @@ class StereoVO(BaseVO):
         # force a fresh stereo keyframe (new landmarks re-anchor the
         # tracker at the predicted pose). Only post-insert stats count —
         # a stale pre-keyframe sample would re-trigger recovery forever.
-        if n_tracked < cfg.min_lost_points and self._stats_fresh():
-            self._lost_count = getattr(self, "_lost_count", 0) + 1
-        else:
-            self._lost_count = 0
-        forced_recovery = self._lost_count >= cfg.lost_reinit_after
+        forced_recovery = self._update_lost(n_tracked)
         is_kf = forced_recovery or self._should_insert_keyframe(n_tracked)
-        if forced_recovery:
-            self._lost_count = 0
         if is_kf:
             # Record refined observations of tracked landmarks, then add
             # fresh stereo landmarks and run window BA.
@@ -672,24 +851,63 @@ class StereoVO(BaseVO):
 
 class MonocularVO(BaseVO):
     """Monocular VO: LK bootstrap + two-view init + direct/aligned tracking
-    (BASELINE.json config 1; the reference pipeline end-to-end)."""
+    (BASELINE.json config 1; the reference pipeline end-to-end).
+
+    Lost-tracking parity with StereoVO: after `lost_reinit_after`
+    consecutive fresh lost samples the engine re-initializes — a new
+    two-view bootstrap anchored at the current pose (the reference's
+    re-seed loop, viso.cpp:14,100-108, generalized to mid-run recovery).
+    Monocular scale is NOT observable across a re-init: the new segment
+    is mean-depth normalized (viso.cpp:622-637), so absolute scale may
+    jump at the seam; within a segment the two frozen gauge cameras in
+    window BA hold it.
+    """
+
+    _default_ba_backend = "photometric"
 
     def __init__(self, config: VOConfig):
         super().__init__(config)
         self.state = "init"
         self.init_ref = None   # (pyr, kps, mask, frame_idx)
-        self.pending_kps = None
+        # World->cam pose of the init segment's reference camera: the
+        # first bootstrap anchors at identity; a mid-run re-init anchors
+        # the new map segment at the pose where tracking was lost.
+        self.init_base = (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+        self.num_reinits = 0
+
+    @staticmethod
+    def to_device(img):
+        """Pre-upload a frame as uint8 (4x less host-link traffic); the
+        kernels promote to f32 on device."""
+        if isinstance(img, jnp.ndarray):
+            return img
+        a = np.asarray(img)
+        if a.dtype != np.uint8:
+            a = np.clip(a, 0, 255).astype(np.uint8)
+        return jnp.asarray(a)
 
     def process(self, img) -> FrameResult:
         cfg = self.cfg
         self.frame_idx += 1
-        img = jnp.asarray(img, jnp.float32)
+        img = self.to_device(img)
 
         if self.state == "init":
-            pyr = pyramid.build_pyramid(img, cfg.pyramid_levels)
+            pyr = pyramid.build_pyramid(
+                img.astype(jnp.float32), cfg.pyramid_levels
+            )
             self._try_initialize(pyr)
         else:
             ok_align, refined, n_tracked, pyr = self._track_landmarks(img)
+            if self._update_lost(n_tracked):
+                self._reinitialize(pyr)
+                self._record(
+                    num_tracked=n_tracked,
+                    num_landmarks=0,
+                    is_keyframe=False,
+                    state="init",
+                )
+                self.last_pyr = pyr
+                return self.results[-1]
             is_kf = self._should_insert_keyframe(n_tracked)
             if is_kf:
                 self._insert_mono_keyframe(pyr, (ok_align, refined))
@@ -715,6 +933,24 @@ class MonocularVO(BaseVO):
             state="init",
         )
         return self.results[-1]
+
+    def _reinitialize(self, pyr):
+        """Drop the map and bootstrap a new segment at the current pose."""
+        cfg = self.cfg
+        self.map = map_state.empty(
+            cfg.max_keyframes,
+            cfg.max_landmarks,
+            (cfg.height, cfg.width),
+            cfg.pyramid_levels,
+        )
+        self.kf_order = []
+        self.state = "init"
+        self.init_base = (self.R, self.t)
+        self.prev_R, self.prev_t = self.R, self.t   # zero velocity
+        self.init_ref = None
+        self.num_reinits += 1
+        # Seed immediately from the current frame.
+        self._try_initialize(pyr)
 
     # -- initialization (reference viso.cpp:13-111) --------------------
     def _try_initialize(self, pyr):
@@ -748,28 +984,33 @@ class MonocularVO(BaseVO):
         if n_inl < cfg.min_init_tracks or n_inl < cfg.min_init_inlier_ratio * n_tracks:
             return
         # Accept: promote both frames to keyframes (viso.cpp:79-98).
+        # twoview works in the reference camera's frame (world == ref
+        # cam); compose with the segment base pose so a re-init segment
+        # continues the global trajectory.
+        Rb, tb = self.init_base
+        R1, t1 = se3.compose(res.R, res.t, Rb, tb)
+        Rb_inv, tb_inv = se3.inverse(Rb, tb)
+        points_w = se3.transform(Rb_inv, tb_inv, res.points)
         slot0 = self._next_kf_slot()
         self.map = map_state.insert_keyframe(
-            self.map, slot0, jnp.eye(3), jnp.zeros(3), ref_idx, ref_pyr
+            self.map, slot0, Rb, tb, ref_idx, ref_pyr
         )
         self.kf_order.append(slot0)
         slot1 = self._next_kf_slot()
         self.map = map_state.insert_keyframe(
-            self.map, slot1, res.R, res.t, self.frame_idx, pyr
+            self.map, slot1, R1, t1, self.frame_idx, pyr
         )
         self.kf_order.append(slot1)
         self.map, slots, ok_alloc = map_state.allocate_landmarks(
-            self.map, res.points, res.inliers
+            self.map, points_w, res.inliers
         )
         self.map = map_state.set_observations(self.map, slot0, slots, ref_kps, ok_alloc)
         self.map = map_state.set_observations(self.map, slot1, slots, kp2, ok_alloc)
-        self.R, self.t = res.R, res.t
-        self.prev_R, self.prev_t = jnp.eye(3), jnp.zeros(3)
+        self.R, self.t = R1, t1
+        self.prev_R, self.prev_t = Rb, tb
         self.last_kf_frame = self.frame_idx
         self._refresh_templates(slot1)
         self.state = "tracking"
-        # Keep the tracked keypoints as triangulation candidates.
-        self.pending_kps = None
 
     # -- keyframe insertion with new-landmark triangulation ------------
     def _insert_mono_keyframe(self, pyr, existing_obs):

@@ -35,6 +35,12 @@ class StereoSLAM(StereoVO):
         self.pg_frame: list[int] = []
         self.pg_edges: list[tuple] = []   # (i, j, R_ij, t_ij, weight)
         self.loops: list[dict] = []
+        # World-frame epochs: every pose-graph correction re-maps world
+        # points (p_new = G p_old). _epoch_maps[e] accumulates the map
+        # from epoch-e world to the CURRENT world so trajectory() can
+        # express every recorded frame in one consistent frame.
+        self._epoch = 0
+        self._epoch_maps = [(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))]
 
     # Hook keyframe creation.
     def _insert_stereo_keyframe(self, pyr, img_left, img_right, existing_obs=None):
@@ -84,6 +90,7 @@ class StereoSLAM(StereoVO):
         self.loop_db.add(
             pyr[0], jnp.asarray(kps), jnp.asarray(kp_mask),
             points_w, points_ok, R_np, t_np, self.frame_idx,
+            node_id=node_id,
         )
 
         # Loop detection for this keyframe.
@@ -111,21 +118,12 @@ class StereoSLAM(StereoVO):
         K = len(self.pg_R)
         if K < 3 or not self.pg_edges:
             return
-        E = len(self.pg_edges)
-        g = pose_graph.PoseGraph(
-            R=jnp.asarray(np.stack(self.pg_R)),
-            t=jnp.asarray(np.stack(self.pg_t)),
-            node_mask=jnp.ones(K, bool),
-            edge_i=jnp.asarray([e[0] for e in self.pg_edges], jnp.int32),
-            edge_j=jnp.asarray([e[1] for e in self.pg_edges], jnp.int32),
-            R_ij=jnp.asarray(np.stack([e[2] for e in self.pg_edges])),
-            t_ij=jnp.asarray(np.stack([e[3] for e in self.pg_edges])),
-            edge_weight=jnp.asarray([e[4] for e in self.pg_edges], jnp.float32),
-            edge_mask=jnp.ones(E, bool),
+        out, info = pose_graph.solve_padded(
+            self.pg_R, self.pg_t, self.pg_edges,
+            pose_graph.PGParams(iters=25),
         )
-        out, info = pose_graph.solve(g, pose_graph.PGParams(iters=25))
-        R_new = np.asarray(out.R)
-        t_new = np.asarray(out.t)
+        R_new = np.asarray(out.R)[:K]
+        t_new = np.asarray(out.t)[:K]
 
         # World correction from the newest node: G = T_new^-1 T_old maps
         # old-world coords to new-world coords consistently with the
@@ -153,6 +151,18 @@ class StereoSLAM(StereoVO):
         R_cur, t_cur = se3.compose(self.R, self.t, *G_inv)
         self.R, self.t = R_cur, t_cur
         self.prev_R, self.prev_t = self.R, self.t
+
+        # Advance the world epoch: fold G into every earlier epoch's
+        # accumulated map, then open a fresh (identity) epoch.
+        G_R_np, G_t_np = np.asarray(G[0]), np.asarray(G[1])
+        self._epoch_maps = [
+            (G_R_np @ M_R, G_R_np @ M_t + G_t_np)
+            for (M_R, M_t) in self._epoch_maps
+        ]
+        self._epoch_maps.append(
+            (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        )
+        self._epoch += 1
 
         # Loop-closure DB geometry must follow the corrected world too.
         db = self.loop_db

@@ -36,15 +36,24 @@ class LoopParams:
     num_features: int = 256        # descriptors per keyframe
     guard: int = 30                # skip this many most-recent keyframes
     min_matches: int = 40          # descriptor matches to be a candidate
-    min_inliers: int = 25          # PnP inliers to accept
+    min_inliers: int = 30          # PnP inliers to accept
     # Reprojection gate in PIXELS (normalized per-camera at detect time):
     # independently re-detected FAST corners land 1-2 px apart across
     # views, so this must be looser than the tracking gates.
     pnp_threshold_px: float = 4.0
+    # Plausibility gate on the implied correction: a verified-but-ALIASED
+    # loop (self-similar walls) yanks the whole world by the aliasing
+    # offset and kills tracking. The measured relative pose may disagree
+    # with the current odometry estimate by accumulated drift — but not
+    # by more than these bounds. Rotational drift on rotation-dominant
+    # paths is large (a single orbit lap accrues ~45 deg here), so the
+    # rotation bound stays loose; aliased matches land ~90-180 deg off.
+    max_correction_m: float = 10.0
+    max_correction_rad: float = 1.2
 
 
 class LoopCandidate(NamedTuple):
-    db_index: int
+    db_index: int       # caller-supplied external id (pose-graph node)
     matches: int
     inliers: int
     R_rel: np.ndarray   # measured T_cur * T_cand^-1
@@ -52,7 +61,15 @@ class LoopCandidate(NamedTuple):
 
 
 class LoopDatabase:
-    """Fixed-capacity store of keyframe descriptor sets + geometry."""
+    """Fixed-capacity ring store of keyframe descriptor sets + geometry.
+
+    When full, the OLDEST entry is overwritten (ring eviction): a long
+    sequence keeps a bounded, recency-complete database instead of
+    silently refusing new keyframes — old far-away places age out, which
+    is also the right retention policy for drift-correcting loops.
+    Entries carry a caller-supplied `node_id` (pose-graph node index) so
+    candidates stay addressable after slots are recycled.
+    """
 
     def __init__(self, params: LoopParams, seed: int = 0):
         p = params
@@ -67,15 +84,25 @@ class LoopDatabase:
         self.R = np.zeros((p.capacity, 3, 3), np.float32)
         self.t = np.zeros((p.capacity, 3), np.float32)
         self.frame_id = np.full(p.capacity, -1, np.int64)
-        self.count = 0
+        self.node_id = np.full(p.capacity, -1, np.int64)
+        # Monotonic insertion counter; per-slot insertion stamp drives
+        # both ring replacement and the temporal guard window.
+        self.total = 0
+        self.insert_seq = np.full(p.capacity, -1, np.int64)
         self.key = jax.random.PRNGKey(seed)
 
-    def add(self, img_smooth, kps, kp_mask, points_w, points_ok, R, t, frame_id):
-        """Store a keyframe: descriptors at `kps`, its pose, and the 3-D
-        landmarks associated with those keypoints (points_ok marks which)."""
-        if self.count >= self.params.capacity:
-            return -1  # full: stop adding (bounded memory)
-        i = self.count
+    @property
+    def count(self) -> int:
+        """Live entries (== capacity once the ring has wrapped)."""
+        return min(self.total, self.params.capacity)
+
+    def add(self, img_smooth, kps, kp_mask, points_w, points_ok, R, t,
+            frame_id, node_id=-1):
+        """Store a keyframe: descriptors at `kps`, its pose, the 3-D
+        landmarks associated with those keypoints (points_ok marks
+        which), and the caller's external `node_id`. Returns the slot
+        written (oldest entry recycled once the ring is full)."""
+        i = self.total % self.params.capacity
         desc = descriptors.compute(img_smooth, kps, kp_mask)
         self.desc = self.desc.at[i].set(desc)
         self.desc_mask = self.desc_mask.at[i].set(kp_mask)
@@ -85,21 +112,25 @@ class LoopDatabase:
         self.R[i] = np.asarray(R)
         self.t[i] = np.asarray(t)
         self.frame_id[i] = frame_id
-        self.count += 1
+        self.node_id[i] = node_id if node_id >= 0 else self.total
+        self.insert_seq[i] = self.total
+        self.total += 1
         return i
 
     def detect(self, img_smooth, kps, kp_mask, R_cur, t_cur, intr) -> Optional[LoopCandidate]:
         """Look for a verified loop closure for the current keyframe."""
         p = self.params
-        n_eligible = self.count - p.guard
-        if n_eligible <= 0:
+        # Temporal guard: skip the `guard` most recent insertions.
+        eligible = (self.insert_seq >= 0) & (
+            self.insert_seq <= self.total - 1 - p.guard
+        )
+        if not eligible.any():
             return None
         desc_q = descriptors.compute(img_smooth, kps, kp_mask)
-        # Score all eligible stored keyframes (vmapped matmul matching).
-        counts = _match_counts(
-            desc_q, kp_mask, self.desc[:n_eligible], self.desc_mask[:n_eligible]
-        )
-        counts = np.asarray(counts)
+        # Score ALL stored keyframes at fixed capacity (one traced shape;
+        # slicing to the live count would retrace per insertion).
+        counts = np.asarray(_match_counts(desc_q, kp_mask, self.desc, self.desc_mask))
+        counts = np.where(eligible, counts, -1)
         best = int(np.argmax(counts))
         if counts[best] < p.min_matches:
             return None
@@ -128,8 +159,23 @@ class LoopDatabase:
             jnp.asarray(R_meas), jnp.asarray(t_meas),
             jnp.asarray(self.R[best]), jnp.asarray(self.t[best]),
         )
+        # Plausibility: measured relative vs the current odometry
+        # estimate. Disagreement = accumulated drift (fine, that is what
+        # the loop corrects) — unless it exceeds the configured bounds,
+        # which marks a visually-aliased false positive.
+        R_est, t_est = se3.relative(
+            jnp.asarray(R_cur), jnp.asarray(t_cur),
+            jnp.asarray(self.R[best]), jnp.asarray(self.t[best]),
+        )
+        dR, dt = se3.compose(*se3.inverse(R_rel, t_rel), R_est, t_est)
+        d_trans = float(jnp.linalg.norm(dt))
+        d_rot = float(
+            np.arccos(np.clip((np.trace(np.asarray(dR)) - 1) / 2, -1, 1))
+        )
+        if d_trans > p.max_correction_m or d_rot > p.max_correction_rad:
+            return None
         return LoopCandidate(
-            db_index=best,
+            db_index=int(self.node_id[best]),
             matches=int(counts[best]),
             inliers=n_inl,
             R_rel=np.asarray(R_rel),
