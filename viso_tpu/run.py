@@ -85,6 +85,12 @@ def main(argv=None):
     ap.add_argument("--mesh-devices", type=int, default=0)
     ap.add_argument("--height", type=int, default=0)
     ap.add_argument("--width", type=int, default=0)
+    # Per-frame debug overlays (the reference's cv::imshow rectangles,
+    # viso.cpp:123-135, headless): every N frames write
+    # out-dir/overlays/frame_XXXXXX.png with tracked landmarks drawn on
+    # the current image. Each overlay costs one device->host image pull,
+    # so 0 (off) is the default for benchmarking.
+    ap.add_argument("--viz-every", type=int, default=0)
     ap.add_argument("--out-dir", default="out")
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--resume", default="")
@@ -148,6 +154,22 @@ def main(argv=None):
     log = vlog.RunLogger(path=os.path.join(args.out_dir, "frames.jsonl"))
     log.tick()
 
+    overlay_dir = os.path.join(args.out_dir, "overlays")
+    if args.viz_every:
+        os.makedirs(overlay_dir, exist_ok=True)
+        vo.debug_overlay = True
+
+    def write_overlay(index):
+        if vo._last_track is None:
+            return
+        from viso_tpu.data import png_io
+
+        ok, uv, img = (np.asarray(a) for a in vo._last_track)
+        rgb = viz.draw_keypoints(img, uv, ok)
+        png_io.write_rgb_png(
+            os.path.join(overlay_dir, f"frame_{index:06d}.png"), rgb
+        )
+
     def step(frame):
         if args.mode == "mono":
             return vo.process(frame.image)
@@ -165,6 +187,8 @@ def main(argv=None):
             is_keyframe=r.is_keyframe,
             state=r.state,
         )
+        if args.viz_every and frame.index % args.viz_every == 0:
+            write_overlay(frame.index)
         if args.checkpoint_every and frame.index and frame.index % args.checkpoint_every == 0:
             checkpoint.save_map(
                 os.path.join(args.out_dir, "map.npz"), vo.map,
@@ -198,6 +222,15 @@ def main(argv=None):
             R_est, t_est, path=os.path.join(args.out_dir, "trajectory.png"),
             title=seq.name,
         )
+
+    # Final top-down map render (the reference's Pangolin DrawMap view,
+    # main.cpp:56-103, as a file): landmarks + keyframe frusta markers.
+    viz.plot_map_topdown(
+        np.asarray(vo.map.points), np.asarray(vo.map.point_mask),
+        kf_R=np.asarray(vo.map.kf_R)[list(vo.kf_order)] if vo.kf_order else None,
+        kf_t=np.asarray(vo.map.kf_t)[list(vo.kf_order)] if vo.kf_order else None,
+        path=os.path.join(args.out_dir, "map_topdown.png"),
+    )
 
     with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -170,6 +170,12 @@ class BaseVO:
         self.kf_order: list[int] = []   # slots, oldest first
         self.results: list[FrameResult] = []
         self._kernels: dict = {}
+        # Debug overlays (run.py --viz-every): when True, each tracked
+        # frame stashes (ok_mask, refined_uv, image) as DEVICE arrays in
+        # self._last_track — pulling them is the caller's choice (and
+        # cost: one D2H per overlay, so it is off by default).
+        self.debug_overlay = False
+        self._last_track = None
 
     # -- helpers -------------------------------------------------------
     def _next_key(self):
@@ -571,6 +577,8 @@ class BaseVO:
         # Pipeline still filling (no sample ever landed): be optimistic —
         # no KF / lost decisions should fire off the first missing samples.
         n_tracked = getattr(self, "_n_tracked_cache", self.cfg.num_features)
+        if self.debug_overlay:
+            self._last_track = (ok_align, refined, pyr[0])
         return ok_align, refined, n_tracked, pyr
 
     def close(self):
