@@ -91,6 +91,49 @@ def test_fast_grid_distribution(rng):
         assert len(bands) >= 3
 
 
+def test_detect_grid_pyramid_fills_from_coarse_levels(rng):
+    """Level-0-invisible (blurred) structure must still be detected via
+    coarser pyramid levels — the failure mode that starved tracking in
+    the close-wall sectors of the orbit benchmark (0 corners at level 0,
+    150+ at level 2)."""
+    from scipy.ndimage import gaussian_filter
+
+    img = squares_image(rng, 128, 128)
+    blurred = gaussian_filter(img, sigma=4.0)
+    pyr = pyramid.build_pyramid(jnp.array(blurred), 4)
+    # Single-scale detection finds (almost) nothing on the blurred image.
+    _, _, m0 = fast.detect_grid(pyr[0], threshold=20.0, grid=(4, 4), per_cell=8)
+    # Multi-scale fills the budget from coarse levels.
+    uv, score, m = fast.detect_grid_pyramid(
+        pyr, threshold=20.0, grid=(4, 4), per_cell=8, levels=3
+    )
+    assert int(np.asarray(m).sum()) > int(np.asarray(m0).sum())
+    assert int(np.asarray(m).sum()) >= 10
+    pts = np.asarray(uv)[np.asarray(m)]
+    assert (pts[:, 0] >= 0).all() and (pts[:, 0] < 128).all()
+    assert (pts[:, 1] >= 0).all() and (pts[:, 1] < 128).all()
+
+
+def test_detect_grid_pyramid_prefers_fine_levels(rng):
+    """On a sharp image, multi-scale output should consist of level-0
+    detections (finest level wins each cell's budget)."""
+    img = squares_image(rng, 128, 128)
+    pyr = pyramid.build_pyramid(jnp.array(img), 4)
+    uv0, s0, m0 = fast.detect_grid(
+        pyr[0], threshold=40.0, grid=(4, 4), per_cell=4
+    )
+    uv, s, m = fast.detect_grid_pyramid(
+        pyr, threshold=40.0, grid=(4, 4), per_cell=4, levels=3
+    )
+    a = np.asarray(uv)[np.asarray(m)]
+    b = np.asarray(uv0)[np.asarray(m0)]
+    # Where level 0 filled a cell's budget, the multi-scale result must
+    # be the same corners (integer coords, no half-pixel offsets).
+    if len(b):
+        d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+        assert (d.min(axis=0) < 1e-3).mean() > 0.9
+
+
 def test_lk_tracks_pure_translation(rng):
     img = smooth_texture(rng, 128, 160)
     dx, dy = 3.7, -2.3

@@ -36,7 +36,12 @@ def test_slam_orbit_closes_loop(room):
         height=H, width=W, baseline=0.25,
         max_keyframes=6, max_landmarks=512, num_features=128,
         detect_grid=(4, 4), fast_threshold=12.0, max_disparity=48,
-        kf_min_gap=1, kf_min_visible_frac=0.7, **INTR,
+        # Bounded cadence: with multi-scale detection tracking rarely
+        # starves, so visibility-triggered keyframes alone would give
+        # too few keyframes for the guard window on this short orbit
+        # (keyframe decisions also depend on async stats timing — a
+        # bounded gap keeps the test deterministic).
+        kf_min_gap=1, kf_max_gap=5, kf_min_visible_frac=0.7, **INTR,
     )
     loop_params = LoopParams(
         capacity=64, num_features=128, guard=8, min_matches=25, min_inliers=15
@@ -123,7 +128,9 @@ def test_slam_loop_after_db_wrap(room):
         height=H, width=W, baseline=0.25,
         max_keyframes=6, max_landmarks=512, num_features=128,
         detect_grid=(4, 4), fast_threshold=12.0, max_disparity=48,
-        kf_min_gap=1, kf_min_visible_frac=0.7, **INTR,
+        # Bounded cadence (see test_slam_orbit_closes_loop): ~36
+        # keyframes over two laps exercises the 32-entry ring wrap.
+        kf_min_gap=1, kf_max_gap=4, kf_min_visible_frac=0.7, **INTR,
     )
     loop_params = LoopParams(
         capacity=32, num_features=128, guard=8, min_matches=25, min_inliers=15

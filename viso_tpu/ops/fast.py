@@ -106,6 +106,78 @@ def detect(img, threshold: float = 50.0, max_num: int = 1024, nms: bool = True):
     return uv, vals, mask
 
 
+def detect_grid_pyramid(
+    pyr,
+    threshold: float = 25.0,
+    grid: tuple[int, int] = (8, 8),
+    per_cell: int = 16,
+    levels: int = 3,
+    threshold_decay: float = 2.0,
+):
+    """Multi-scale grid-bucketed FAST over an image pyramid.
+
+    Close-range / defocused surfaces magnify texture until level-0 FAST
+    finds nothing (measured on the orbit bench: 0 corners at level 0
+    where level 2 at threshold/4 has 150+), which starves tracking and
+    turns entire sectors into dead reckoning. Detection therefore runs
+    on `levels` pyramid levels with per-level threshold
+    `threshold / threshold_decay**level` and coordinates mapped to
+    level 0; each grid cell keeps its finest-level corners first
+    (best localization) and fills the remaining budget from coarser
+    levels. Output shape matches detect_grid: (G*per_cell, 2) uv at
+    level-0 coords, score, mask.
+
+    The reference's cv::FAST call (viso.cpp:100-108) is single-scale;
+    multi-scale detection generalizes it the way ORB-style pyramidal
+    detectors do, and is what makes the close-wall sectors of the loop
+    benchmark trackable at all.
+    """
+    levels = min(levels, len(pyr))
+    H, W = pyr[0].shape
+    gh, gw = grid
+    all_uv, all_key, all_score = [], [], []
+    for lvl in range(levels):
+        thr = threshold / (threshold_decay**lvl)
+        s = score_map(pyr[lvl], thr)
+        s = _nms(s)
+        Hl, Wl = s.shape
+        ch, cw = max(1, Hl // gh), max(1, Wl // gw)
+        s_c = s[: gh * ch, : gw * cw].reshape(gh, ch, gw, cw)
+        s_c = jnp.moveaxis(s_c, 2, 1).reshape(gh * gw, ch * cw)
+        k = min(per_cell, ch * cw)
+        vals, idx = lax.top_k(s_c, k)                      # (G, k)
+        cell_ids = jnp.arange(gh * gw)
+        cell_r = (cell_ids // gw) * ch
+        cell_c = (cell_ids % gw) * cw
+        r = cell_r[:, None] + idx // cw
+        c = cell_c[:, None] + idx % cw
+        scale = float(2**lvl)
+        # Pixel-center-aligned mapping of level-l coords to level 0.
+        u0 = (c.astype(jnp.float32) + 0.5) * scale - 0.5
+        v0 = (r.astype(jnp.float32) + 0.5) * scale - 0.5
+        if k < per_cell:
+            pad = per_cell - k
+            u0 = jnp.pad(u0, ((0, 0), (0, pad)))
+            v0 = jnp.pad(v0, ((0, 0), (0, pad)))
+            vals = jnp.pad(vals, ((0, 0), (0, pad)))
+        # Sort key: finer level ALWAYS beats coarser; score breaks ties
+        # within a level. Scores are bounded by 16*255 < 5e3 << 1e6.
+        key = jnp.where(vals > 0.0, (levels - lvl) * 1.0e6 + vals, -jnp.inf)
+        all_uv.append(jnp.stack([u0, v0], axis=-1))        # (G, per_cell, 2)
+        all_key.append(key)
+        all_score.append(vals)
+    uv = jnp.concatenate(all_uv, axis=1)                   # (G, levels*pc, 2)
+    key = jnp.concatenate(all_key, axis=1)
+    score = jnp.concatenate(all_score, axis=1)
+    topk, sel = lax.top_k(key, per_cell)                   # (G, per_cell)
+    uv = jnp.take_along_axis(uv, sel[:, :, None], axis=1).reshape(-1, 2)
+    score = jnp.take_along_axis(score, sel, axis=1).reshape(-1)
+    mask = jnp.isfinite(topk).reshape(-1)
+    # Masked slots: pin coords to a safe in-bounds location (0 scores).
+    uv = jnp.where(mask[:, None], uv, jnp.zeros_like(uv))
+    return uv, jnp.where(mask, score, 0.0), mask
+
+
 def detect_grid(
     img,
     threshold: float = 25.0,

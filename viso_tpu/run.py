@@ -47,12 +47,28 @@ def build_engine(seq, args):
         cfg = dataclasses.replace(
             cfg, disparity_squared_thresh=args.init_disparity_px ** 2
         )
+    if args.detect_levels:
+        cfg = dataclasses.replace(cfg, detect_levels=args.detect_levels)
     if args.mode == "mono":
         return MonocularVO(cfg)
     if args.mode == "stereo":
         return StereoVO(cfg)
     if args.mode == "slam":
-        return StereoSLAM(cfg)
+        from viso_tpu.slam.loop_closure import LoopParams
+
+        lp = LoopParams()
+        lp = dataclasses.replace(
+            lp,
+            min_inliers=args.loop_min_inliers or lp.min_inliers,
+            min_matches=args.loop_min_matches or lp.min_matches,
+            guard=args.loop_guard or lp.guard,
+            max_correction_m=args.loop_max_correction_m
+            or lp.max_correction_m,
+            trans_drift_rate=args.loop_trans_drift_rate
+            or lp.trans_drift_rate,
+            rot_drift_rate=args.loop_rot_drift_rate or lp.rot_drift_rate,
+        )
+        return StereoSLAM(cfg, lp)
     raise ValueError(args.mode)
 
 
@@ -85,6 +101,16 @@ def main(argv=None):
     ap.add_argument("--mesh-devices", type=int, default=0)
     ap.add_argument("--height", type=int, default=0)
     ap.add_argument("--width", type=int, default=0)
+    # Multi-scale FAST levels (0 = config default of 3; 1 = single-scale).
+    ap.add_argument("--detect-levels", type=int, default=0)
+    # Loop-closure knobs (slam mode; 0 = LoopParams default). The
+    # plausibility gate is drift-scaled — see slam/loop_closure.LoopParams.
+    ap.add_argument("--loop-min-inliers", type=int, default=0)
+    ap.add_argument("--loop-min-matches", type=int, default=0)
+    ap.add_argument("--loop-guard", type=int, default=0)
+    ap.add_argument("--loop-max-correction-m", type=float, default=0.0)
+    ap.add_argument("--loop-trans-drift-rate", type=float, default=0.0)
+    ap.add_argument("--loop-rot-drift-rate", type=float, default=0.0)
     # Per-frame debug overlays (the reference's cv::imshow rectangles,
     # viso.cpp:123-135, headless): every N frames write
     # out-dir/overlays/frame_XXXXXX.png with tracked landmarks drawn on
@@ -162,9 +188,12 @@ def main(argv=None):
     def write_overlay(index):
         if vo._last_track is None:
             return
+        # Skip stale overlays (init / re-init frames record no track).
+        if vo._last_track[3] != vo.frame_idx:
+            return
         from viso_tpu.data import png_io
 
-        ok, uv, img = (np.asarray(a) for a in vo._last_track)
+        ok, uv, img = (np.asarray(a) for a in vo._last_track[:3])
         rgb = viz.draw_keypoints(img, uv, ok)
         png_io.write_rgb_png(
             os.path.join(overlay_dir, f"frame_{index:06d}.png"), rgb

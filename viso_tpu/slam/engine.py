@@ -55,6 +55,12 @@ class VOConfig:
     # Detection
     fast_threshold: float = 25.0
     detect_grid: tuple = (6, 12)
+    # Multi-scale detection: run FAST on this many pyramid levels with
+    # per-level threshold fast_threshold/2^level, finest level first
+    # (ops/fast.detect_grid_pyramid). Close-range surfaces magnify
+    # texture until level-0 FAST finds nothing; coarse levels keep those
+    # sectors trackable. 1 = classic single-scale.
+    detect_levels: int = 3
 
     # Initialization (reference gates, viso.h:20-26 / viso.cpp:76-77)
     reinitialize_after: int = 10
@@ -214,13 +220,18 @@ class BaseVO:
 
     def _detect(self, pyr):
         cfg = self.cfg
-        uv, score, mask = fast.detect_grid(
-            pyr[0],
-            threshold=cfg.fast_threshold,
-            grid=cfg.detect_grid,
-            per_cell=max(1, cfg.num_features // (cfg.detect_grid[0] * cfg.detect_grid[1])),
+        per_cell = max(
+            1, cfg.num_features // (cfg.detect_grid[0] * cfg.detect_grid[1])
         )
-        return uv, score, mask
+        if cfg.detect_levels > 1:
+            return fast.detect_grid_pyramid(
+                pyr, threshold=cfg.fast_threshold, grid=cfg.detect_grid,
+                per_cell=per_cell, levels=cfg.detect_levels,
+            )
+        return fast.detect_grid(
+            pyr[0], threshold=cfg.fast_threshold, grid=cfg.detect_grid,
+            per_cell=per_cell,
+        )
 
     # -- jitted per-frame super-kernels ---------------------------------
     # The whole tracking step (direct + alignment + pose refinement) and
@@ -446,9 +457,14 @@ class BaseVO:
             cam_fixed[s] = True
         if "ba" not in self._kernels:
             intr = self.intr
+            # Resolve (and VALIDATE) the backend before branching on
+            # distribute_ba: an explicit photometric request combined
+            # with distribute_ba must raise here, not silently run the
+            # reprojection solver (ADVICE r2).
+            backend = self._ba_backend()
             if cfg.distribute_ba:
                 run_ba = self._build_dist_ba_kernel()
-            elif self._ba_backend() == "photometric":
+            elif backend == "photometric":
                 from viso_tpu.backend import ba_photometric as pba
 
                 pparams = pba.PhotoBAParams(
@@ -488,8 +504,20 @@ class BaseVO:
 
             self._kernels["ba"] = run_ba
         slot = self.kf_order[-1]
+        R0, t0 = self.R, self.t
         self.map, final_cost, self.R, self.t = self._kernels["ba"](
             self.map, jnp.asarray(cam_fixed), slot
+        )
+        # Transfer BA's pose correction onto prev_* (world-side:
+        # T_new = T_old o G^-1  =>  prev_new = prev_old o (T0^-1 o T1)),
+        # which keeps rel(T, prev) — the constant-velocity estimate —
+        # EXACTLY unchanged. Leaving prev untouched makes the motion
+        # model read the correction as velocity and extrapolate it next
+        # frame; stacked on a loop-closure world remap this measurably
+        # threw the warm start out of the tracker's convergence basin.
+        Gi = se3.compose(*se3.inverse(R0, t0), self.R, self.t)
+        self.prev_R, self.prev_t = se3.compose(
+            self.prev_R, self.prev_t, *Gi
         )
         return final_cost
 
@@ -562,7 +590,20 @@ class BaseVO:
         # pipeline depth. On the tunneled TPU a fetch lands naturally in
         # ~RTT/frame_time ≈ 7 frames < hard, so steady state never
         # blocks and throughput stays at the device's 5 ms/frame.
-        hard = self.cfg.stats_hard_lag or max(1, self.cfg.stats_max_lag)
+        # Default (stats_hard_lag=0) is backend-dependent, because the
+        # parameter exists purely to absorb D2H landing latency: on CPU
+        # (and PCIe hosts) fetches land sub-frame, so a tight bound
+        # keeps keyframe/lost decisions fresh at zero cost; on an
+        # accelerator behind a high-RTT link the natural landing takes
+        # ~RTT/frame_time (~7 frames on the tunneled v5e), so a bound
+        # below that force-joins (blocks ~30 ms) nearly every frame
+        # (ADVICE r2).
+        hard = self.cfg.stats_hard_lag
+        if not hard:
+            if jax.default_backend() == "cpu":
+                hard = max(2, self.cfg.stats_max_lag)
+            else:
+                hard = max(8, 2 * self.cfg.stats_max_lag)
         if q and self.frame_idx - q[0][0] >= hard:
             f, fut = q.pop(0)
             consumed = (f, fut.result())
@@ -578,7 +619,9 @@ class BaseVO:
         # no KF / lost decisions should fire off the first missing samples.
         n_tracked = getattr(self, "_n_tracked_cache", self.cfg.num_features)
         if self.debug_overlay:
-            self._last_track = (ok_align, refined, pyr[0])
+            # Stamped with the frame index so overlay writers can skip
+            # stale data from before a re-init / init frame (ADVICE r2).
+            self._last_track = (ok_align, refined, pyr[0], self.frame_idx)
         return ok_align, refined, n_tracked, pyr
 
     def close(self):
@@ -725,6 +768,11 @@ class StereoVO(BaseVO):
         # tracker at the predicted pose). Only post-insert stats count —
         # a stale pre-keyframe sample would re-trigger recovery forever.
         forced_recovery = self._update_lost(n_tracked)
+        if forced_recovery:
+            # Consumers (e.g. SLAM loop gating) need to know this
+            # keyframe re-anchors after dead reckoning: its pose and the
+            # odometry edge into it are low-confidence.
+            self._last_recovery_frame = self.frame_idx
         is_kf = forced_recovery or self._should_insert_keyframe(n_tracked)
         if is_kf:
             # Record refined observations of tracked landmarks, then add
@@ -787,10 +835,16 @@ class StereoVO(BaseVO):
             m = map_state.set_observations(
                 m, slot, jnp.arange(m.points.shape[0]), refined, existing
             )
-            uv, score, det_mask = fast.detect_grid(
-                pyr[0], threshold=cfg.fast_threshold, grid=cfg.detect_grid,
-                per_cell=per_cell,
-            )
+            if cfg.detect_levels > 1:
+                uv, score, det_mask = fast.detect_grid_pyramid(
+                    pyr, threshold=cfg.fast_threshold, grid=cfg.detect_grid,
+                    per_cell=per_cell, levels=cfg.detect_levels,
+                )
+            else:
+                uv, score, det_mask = fast.detect_grid(
+                    pyr[0], threshold=cfg.fast_threshold,
+                    grid=cfg.detect_grid, per_cell=per_cell,
+                )
             det_mask = det_mask & ~_near_existing(uv, refined, existing, 8.0)
             disp, cost, ok_d = stereo.match(
                 img_left, img_right, uv, det_mask, sparams
@@ -945,6 +999,7 @@ class MonocularVO(BaseVO):
     def _reinitialize(self, pyr):
         """Drop the map and bootstrap a new segment at the current pose."""
         cfg = self.cfg
+        self._last_track = None   # overlay data from the old segment is stale
         self.map = map_state.empty(
             cfg.max_keyframes,
             cfg.max_landmarks,

@@ -7,9 +7,19 @@ reference never had a backend at all.
 On every keyframe: BRIEF descriptors of the keyframe's landmark
 observations go into the LoopDatabase; a sequential odometry edge joins
 the persistent pose graph. When a verified loop candidate appears, the
-loop edge is added, the pose graph is re-optimized, and the resulting
-correction of the newest node is propagated to the live window
-(keyframe poses, landmarks, current camera).
+loop edge is added, the pose graph is re-optimized, and the node-wise
+corrections are propagated: window keyframes and loop-DB entries take
+their OWN node's solved pose, while the live camera/landmarks (which sit
+at the newest node) move by the newest node's correction.
+
+Trajectory bookkeeping is node-anchored: every frame records its nearest
+pose-graph node and that node's pose at record time; `trajectory()`
+re-expresses the frame against the node's FINAL solved pose. (Round 2
+instead applied the newest node's rigid correction to ALL past frames —
+which moved already-correct early frames away from ground truth by the
+accumulated correction of every later loop event, and corrupted the
+loop database the same way. Measured on the 500-frame orbit: odometry
+ATE 0.12 m became 4.0 m after nine accepted loops.)
 """
 
 from __future__ import annotations
@@ -35,12 +45,47 @@ class StereoSLAM(StereoVO):
         self.pg_frame: list[int] = []
         self.pg_edges: list[tuple] = []   # (i, j, R_ij, t_ij, weight)
         self.loops: list[dict] = []
-        # World-frame epochs: every pose-graph correction re-maps world
-        # points (p_new = G p_old). _epoch_maps[e] accumulates the map
-        # from epoch-e world to the CURRENT world so trajectory() can
-        # express every recorded frame in one consistent frame.
-        self._epoch = 0
-        self._epoch_maps = [(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))]
+        # Per-frame anchor records: (node_id, R_node_snap, t_node_snap)
+        # with the node pose AS STORED at record time — the frame's pose
+        # and the snapshot share a world frame by construction.
+        self._anchors: list[tuple[int, np.ndarray, np.ndarray]] = []
+        # Odometry arc-length integrals (m translated / rad rotated),
+        # advanced per keyframe — the drift-scaled loop gate's clock.
+        # Invariant under rigid world corrections (distance traveled
+        # does not change when the frame is re-anchored).
+        self._path_len = 0.0
+        self._rot_len = 0.0
+
+    # -- node-anchored trajectory --------------------------------------
+    def _record(self, **kw):
+        super()._record(**kw)
+        if self.pg_R:
+            node = len(self.pg_R) - 1
+            self._anchors.append(
+                (node, self.pg_R[node].copy(), self.pg_t[node].copy())
+            )
+        else:
+            self._anchors.append((-1, np.eye(3, np.float32), np.zeros(3, np.float32)))
+
+    def trajectory(self):
+        """Per-frame world->cam poses with all pose-graph corrections.
+
+        Each frame is re-expressed against its anchor node's FINAL
+        solved pose: T_final = (T_frame o T_node_snap^-1) o T_node_now.
+        Frames recorded before any node exists pass through unchanged.
+        """
+        R = np.stack([np.asarray(r.R) for r in self.results])
+        t = np.stack([np.asarray(r.t) for r in self.results])
+        for i, (node, Rn_s, tn_s) in enumerate(self._anchors):
+            if node < 0:
+                continue
+            Rn_f, tn_f = self.pg_R[node], self.pg_t[node]
+            # T_rel = T_frame o T_node_snap^-1
+            R_rel = R[i] @ Rn_s.T
+            t_rel = t[i] - R_rel @ tn_s
+            R[i] = R_rel @ Rn_f
+            t[i] = R_rel @ tn_f + t_rel
+        return R, t
 
     # Hook keyframe creation.
     def _insert_stereo_keyframe(self, pyr, img_left, img_right, existing_obs=None):
@@ -69,8 +114,25 @@ class StereoSLAM(StereoVO):
                 jnp.asarray(self.pg_t[node_id - 1]),
                 jnp.asarray(R_np), jnp.asarray(t_np),
             )
+            # An odometry edge that spans a forced lost-tracking recovery
+            # is dead reckoning (the engine HELD the pose through the
+            # blackout): it is a low-confidence measurement, and at full
+            # weight it anchors the graph to a motion that never
+            # happened. Down-weight it so loop edges can redistribute
+            # the error across the gap.
+            prev_f = self.pg_frame[node_id - 1]
+            recovered = getattr(self, "_last_recovery_frame", -1) >= prev_f
+            w_seq = 0.1 if recovered else 1.0
             self.pg_edges.append(
-                (node_id - 1, node_id, np.asarray(R_rel), np.asarray(t_rel), 1.0)
+                (node_id - 1, node_id, np.asarray(R_rel), np.asarray(t_rel), w_seq)
+            )
+            # Advance the drift clock by this keyframe step's odometry.
+            c_prev = -self.pg_R[node_id - 1].T @ self.pg_t[node_id - 1]
+            c_cur = -R_np.T @ t_np
+            self._path_len += float(np.linalg.norm(c_cur - c_prev))
+            R_rel_np = np.asarray(R_rel)
+            self._rot_len += float(
+                np.arccos(np.clip((np.trace(R_rel_np) - 1) / 2, -1, 1))
             )
 
         # Database entry: this keyframe's landmark observations.
@@ -91,12 +153,25 @@ class StereoSLAM(StereoVO):
             pyr[0], jnp.asarray(kps), jnp.asarray(kp_mask),
             points_w, points_ok, R_np, t_np, self.frame_idx,
             node_id=node_id,
+            path_len=self._path_len, rot_len=self._rot_len,
         )
 
-        # Loop detection for this keyframe.
+        # Loop detection for this keyframe — only from a healthy state:
+        # a keyframe inserted during/just after dead reckoning carries a
+        # low-confidence pose, so a verified match would be compared
+        # against garbage odometry and a correction computed from it
+        # would anchor the graph to a phantom motion.
+        recent_recovery = (
+            self.frame_idx - getattr(self, "_last_recovery_frame", -(10**9))
+            <= 2 * self.cfg.kf_min_gap
+        )
+        tracked = getattr(self, "_n_tracked_cache", self.cfg.num_features)
+        if recent_recovery or tracked < self.cfg.min_tracked_points:
+            return
         cand = self.loop_db.detect(
             pyr[0], jnp.asarray(kps), jnp.asarray(kp_mask),
             R_np, t_np, self.intr,
+            path_len=self._path_len, rot_len=self._rot_len,
         )
         if cand is not None:
             # cand.R_rel is T_cur o T_cand^-1; the (cand -> cur) edge
@@ -105,19 +180,35 @@ class StereoSLAM(StereoVO):
                 np.asarray,
                 se3.inverse(jnp.asarray(cand.R_rel), jnp.asarray(cand.t_rel)),
             )
+            # Loop edge weight: bounded multiple of the odometry weight.
+            # Raw inlier counts (round 2) made one 60-inlier loop edge
+            # outweigh sixty odometry edges — a slightly-off loop
+            # measurement then bent the whole trajectory around itself.
+            w_loop = min(
+                float(cand.inliers) / self.loop_params.min_inliers, 3.0
+            )
             self.pg_edges.append(
-                (cand.db_index, node_id, R_e, t_e, float(cand.inliers))
+                (cand.db_index, node_id, R_e, t_e, w_loop)
             )
             self.loops.append(
                 {"from": node_id, "to": cand.db_index,
                  "frame": self.frame_idx, "inliers": cand.inliers}
             )
-            self._optimize_pose_graph()
+            # Throttle: optimize at most once per min_event_gap_kf
+            # keyframes. Accumulated loop edges are all incorporated at
+            # the next event; per-keyframe event storms churn the world
+            # faster than the tracker re-converges.
+            last_ev = getattr(self, "_last_event_node", -(10**9))
+            if node_id - last_ev >= self.loop_params.min_event_gap_kf:
+                self._last_event_node = node_id
+                self._optimize_pose_graph()
 
     def _optimize_pose_graph(self):
         K = len(self.pg_R)
         if K < 3 or not self.pg_edges:
             return
+        R_old = [r.copy() for r in self.pg_R]
+        t_old = [t.copy() for t in self.pg_t]
         out, info = pose_graph.solve_padded(
             self.pg_R, self.pg_t, self.pg_edges,
             pose_graph.PGParams(iters=25),
@@ -125,20 +216,70 @@ class StereoSLAM(StereoVO):
         R_new = np.asarray(out.R)[:K]
         t_new = np.asarray(out.t)[:K]
 
-        # World correction from the newest node: G = T_new^-1 T_old maps
-        # old-world coords to new-world coords consistently with the
-        # corrected camera.
-        last = K - 1
-        T_old = (jnp.asarray(self.pg_R[last]), jnp.asarray(self.pg_t[last]))
-        T_new = (jnp.asarray(R_new[last]), jnp.asarray(t_new[last]))
-        G = se3.compose(*se3.inverse(*T_new), *T_old)
-        G_inv = se3.inverse(*G)
+        # Solve-health gate: a correction of the newest node beyond the
+        # loop gate's hard ceilings means the solve diverged or the graph
+        # holds inconsistent measurements (observed at toy scale: an LM
+        # solve over lost-phase odometry edges moved the newest node
+        # 177 m). Reject the event: restore the graph, drop the edge.
+        c_old = -R_old[K - 1].T @ t_old[K - 1]
+        c_new = -R_new[K - 1].T @ t_new[K - 1]
+        jump = float(np.linalg.norm(c_new - c_old))
+        ang = float(
+            np.arccos(
+                np.clip((np.trace(R_new[K - 1] @ R_old[K - 1].T) - 1) / 2, -1, 1)
+            )
+        )
+        lp = self.loop_params
+        if jump > lp.max_correction_m or ang > lp.max_correction_rad:
+            self.pg_edges.pop()
+            self.loops.pop()
+            import os as _os
 
-        # Update stored graph.
+            if _os.environ.get("VISO_LOOP_DEBUG") == "1":
+                import sys as _sys
+
+                print(
+                    f"[pose-graph] REJECTED event: |jump|={jump:.2f} m "
+                    f"ang={ang:.3f} rad exceeds gate ceilings",
+                    file=_sys.stderr,
+                )
+            return
+
         self.pg_R = [R_new[k].copy() for k in range(K)]
         self.pg_t = [t_new[k].copy() for k in range(K)]
 
-        # Propagate to the live window: p_new = G p_old; T_kf_new = T_kf_old G^-1.
+        # Newest-node correction G: maps newest-node-old-world points to
+        # the corrected world (G = T_new^-1 o T_old of the LAST node).
+        # The live landmarks and camera sit at the newest node, so G is
+        # their correction; window keyframes and DB entries instead take
+        # their OWN node's solved pose (node-wise, not rigid).
+        last = K - 1
+        T_old_l = (jnp.asarray(R_old[last]), jnp.asarray(t_old[last]))
+        T_new_l = (jnp.asarray(R_new[last]), jnp.asarray(t_new[last]))
+        G = se3.compose(*se3.inverse(*T_new_l), *T_old_l)
+        G_inv = se3.inverse(*G)
+        import os as _os
+
+        if _os.environ.get("VISO_LOOP_DEBUG") == "1":
+            import sys as _sys
+
+            print(
+                f"[pose-graph] K={K} E={len(self.pg_edges)} "
+                f"cost {float(info['initial_cost']):.4f} -> "
+                f"{float(info['final_cost']):.4f} "
+                f"|G_t|={float(jnp.linalg.norm(G[1])):.3f}",
+                file=_sys.stderr,
+            )
+
+        # Live window: moved RIGIDLY by G (landmarks, keyframe poses,
+        # camera) so it stays internally consistent — setting window
+        # keyframes to their individually-solved node poses while
+        # landmarks move rigidly was tried and makes the next window BA
+        # fight the pose-graph correction (observed: the live pose ended
+        # up meters from both). The window's pg nodes keep their solved
+        # poses; the seam is exact at the newest node (G is defined so
+        # T_old_last o G^-1 == T_new_last) which is where the next
+        # sequential edge attaches.
         m = self.map
         pts_new = se3.transform(G[0], G[1], m.points)
         kf_R_new = jnp.einsum("kij,jl->kil", m.kf_R, G_inv[0])
@@ -152,28 +293,19 @@ class StereoSLAM(StereoVO):
         self.R, self.t = R_cur, t_cur
         self.prev_R, self.prev_t = self.R, self.t
 
-        # Advance the world epoch: fold G into every earlier epoch's
-        # accumulated map, then open a fresh (identity) epoch.
-        G_R_np, G_t_np = np.asarray(G[0]), np.asarray(G[1])
-        self._epoch_maps = [
-            (G_R_np @ M_R, G_R_np @ M_t + G_t_np)
-            for (M_R, M_t) in self._epoch_maps
-        ]
-        self._epoch_maps.append(
-            (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
-        )
-        self._epoch += 1
-
-        # Loop-closure DB geometry must follow the corrected world too.
+        # Loop-DB entries follow their own node's correction:
+        # G_k = T_newk^-1 o T_oldk; points p' = G_k p; pose' = solved.
         db = self.loop_db
         n = db.count
-        if n:
-            G_R, G_t = np.asarray(G[0]), np.asarray(G[1])
-            Gi_R, Gi_t = np.asarray(G_inv[0]), np.asarray(G_inv[1])
-            db.points_w[:n] = db.points_w[:n] @ G_R.T + G_t
-            R_old = db.R[:n].copy()
-            db.R[:n] = np.einsum("kij,jl->kil", R_old, Gi_R)
-            db.t[:n] = np.einsum("kij,j->ki", R_old, Gi_t) + db.t[:n]
+        for i in range(n):
+            node = int(db.node_id[i])
+            if node < 0 or node >= K:
+                continue
+            Gk_R = R_new[node].T @ R_old[node]
+            Gk_t = R_new[node].T @ (t_old[node] - t_new[node])
+            db.points_w[i] = db.points_w[i] @ Gk_R.T + Gk_t
+            db.R[i] = R_new[node]
+            db.t[i] = t_new[node]
 
     def graph_trajectory(self):
         """Keyframe trajectory after pose-graph corrections."""

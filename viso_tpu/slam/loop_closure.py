@@ -29,6 +29,11 @@ from viso_tpu.geometry import camera as cam_mod
 from viso_tpu.geometry import se3
 from viso_tpu.ops import descriptors, pnp
 
+import os
+
+# VISO_LOOP_DEBUG=1 prints every candidate's gate record to stderr.
+_DEBUG_ENV = os.environ.get("VISO_LOOP_DEBUG") == "1"
+
 
 @dataclass
 class LoopParams:
@@ -44,12 +49,37 @@ class LoopParams:
     # Plausibility gate on the implied correction: a verified-but-ALIASED
     # loop (self-similar walls) yanks the whole world by the aliasing
     # offset and kills tracking. The measured relative pose may disagree
-    # with the current odometry estimate by accumulated drift — but not
-    # by more than these bounds. Rotational drift on rotation-dominant
-    # paths is large (a single orbit lap accrues ~45 deg here), so the
-    # rotation bound stays loose; aliased matches land ~90-180 deg off.
+    # with the current odometry estimate by accumulated drift — which
+    # GROWS with distance traveled since the candidate was stored. The
+    # round-2 fixed bounds failed both ways at benchmark scale: tight
+    # bounds rejected every true loop once drift exceeded them, loose
+    # bounds admitted along-the-wall aliases once drift shrank. The gate
+    # is therefore DRIFT-SCALED: the allowed disagreement is
+    #   trans: base_correction_m  + trans_drift_rate * path_since_cand
+    #   rot:   base_correction_rad + rot_drift_rate  * rot_since_cand
+    # (path/rot = odometry arc-length integrals stored per entry),
+    # clamped above by the hard ceilings max_correction_m/rad. The
+    # default rates are ~5% drift per unit traveled — an order of
+    # magnitude above a healthy front-end, far below aliasing offsets.
+    base_correction_m: float = 0.3
+    base_correction_rad: float = 0.05
+    trans_drift_rate: float = 0.05     # m disagreement per m traveled
+    rot_drift_rate: float = 0.05       # rad per rad integrated rotation
     max_correction_m: float = 10.0
     max_correction_rad: float = 1.2
+    # Overwhelming measurement evidence (inliers >= this multiple of
+    # min_inliers) overrides the scaled bound up to the hard ceilings.
+    # DISABLED by default (0): measured on the orbit benchmark,
+    # self-similar texture produces 70+-inlier PnP fits at aliased
+    # locations, so inlier count alone cannot authorize a correction
+    # beyond the drift budget. Set > 0 only for environments with
+    # globally distinctive appearance.
+    evidence_override: float = 0.0
+    # Pose-graph optimization fires at most once per this many keyframe
+    # insertions (loop edges still join the graph immediately and are
+    # incorporated at the next event): per-keyframe event storms churn
+    # the world faster than the tracker re-converges.
+    min_event_gap_kf: int = 3
 
 
 class LoopCandidate(NamedTuple):
@@ -85,6 +115,13 @@ class LoopDatabase:
         self.t = np.zeros((p.capacity, 3), np.float32)
         self.frame_id = np.full(p.capacity, -1, np.int64)
         self.node_id = np.full(p.capacity, -1, np.int64)
+        # Odometry arc-length integrals (translation meters, rotation
+        # radians) at insertion time — the drift-scaled gate's clock.
+        self.path_len = np.zeros(p.capacity, np.float32)
+        self.rot_len = np.zeros(p.capacity, np.float32)
+        # Optional gate diagnostics: set to a list to record every
+        # candidate's gate inputs and decision (tools/diag_loops.py).
+        self.debug: Optional[list] = None
         # Monotonic insertion counter; per-slot insertion stamp drives
         # both ring replacement and the temporal guard window.
         self.total = 0
@@ -97,11 +134,12 @@ class LoopDatabase:
         return min(self.total, self.params.capacity)
 
     def add(self, img_smooth, kps, kp_mask, points_w, points_ok, R, t,
-            frame_id, node_id=-1):
+            frame_id, node_id=-1, path_len=0.0, rot_len=0.0):
         """Store a keyframe: descriptors at `kps`, its pose, the 3-D
         landmarks associated with those keypoints (points_ok marks
-        which), and the caller's external `node_id`. Returns the slot
-        written (oldest entry recycled once the ring is full)."""
+        which), the caller's external `node_id`, and the odometry
+        arc-length integrals at insertion (for the drift-scaled gate).
+        Returns the slot written (oldest entry recycled once full)."""
         i = self.total % self.params.capacity
         desc = descriptors.compute(img_smooth, kps, kp_mask)
         self.desc = self.desc.at[i].set(desc)
@@ -113,11 +151,14 @@ class LoopDatabase:
         self.t[i] = np.asarray(t)
         self.frame_id[i] = frame_id
         self.node_id[i] = node_id if node_id >= 0 else self.total
+        self.path_len[i] = path_len
+        self.rot_len[i] = rot_len
         self.insert_seq[i] = self.total
         self.total += 1
         return i
 
-    def detect(self, img_smooth, kps, kp_mask, R_cur, t_cur, intr) -> Optional[LoopCandidate]:
+    def detect(self, img_smooth, kps, kp_mask, R_cur, t_cur, intr,
+               path_len=None, rot_len=None) -> Optional[LoopCandidate]:
         """Look for a verified loop closure for the current keyframe."""
         p = self.params
         # Temporal guard: skip the `guard` most recent insertions.
@@ -133,6 +174,14 @@ class LoopDatabase:
         counts = np.where(eligible, counts, -1)
         best = int(np.argmax(counts))
         if counts[best] < p.min_matches:
+            if _DEBUG_ENV:
+                import sys
+
+                print(
+                    f"[loop-stage] best_matches={int(counts[best])} < "
+                    f"min_matches={p.min_matches} (cand node "
+                    f"{int(self.node_id[best])})", file=sys.stderr,
+                )
             return None
         # Geometric verification: candidate's 3-D landmarks vs our 2-D kps.
         idx2, dist, ok = descriptors.match(
@@ -141,6 +190,13 @@ class LoopDatabase:
         idx2 = np.asarray(idx2)
         ok = np.asarray(ok) & self.points_ok[best][idx2]
         if ok.sum() < p.min_inliers:
+            if _DEBUG_ENV:
+                import sys
+
+                print(
+                    f"[loop-stage] matched-with-3d={int(ok.sum())} < "
+                    f"min_inliers={p.min_inliers}", file=sys.stderr,
+                )
             return None
         pts3d = jnp.asarray(self.points_w[best][idx2])
         x = cam_mod.normalize(jnp.asarray(kps), intr)
@@ -151,6 +207,13 @@ class LoopDatabase:
         )
         n_inl = int(res.num_inliers)
         if n_inl < p.min_inliers:
+            if _DEBUG_ENV:
+                import sys
+
+                print(
+                    f"[loop-stage] pnp_inliers={n_inl} < "
+                    f"min_inliers={p.min_inliers}", file=sys.stderr,
+                )
             return None
         # res.(R, t) is the verified current-keyframe pose in world frame
         # (from the candidate's landmarks); the relative edge measurement:
@@ -172,7 +235,48 @@ class LoopDatabase:
         d_rot = float(
             np.arccos(np.clip((np.trace(np.asarray(dR)) - 1) / 2, -1, 1))
         )
-        if d_trans > p.max_correction_m or d_rot > p.max_correction_rad:
+        # Drift-scaled bounds: the disagreement a TRUE loop may show is
+        # the drift accrued since the candidate was stored, which grows
+        # with traveled path / integrated rotation — not a constant.
+        if path_len is not None:
+            dpath = max(0.0, float(path_len) - float(self.path_len[best]))
+        else:
+            dpath = None
+        if rot_len is not None:
+            drot_i = max(0.0, float(rot_len) - float(self.rot_len[best]))
+        else:
+            drot_i = None
+        bound_m = p.max_correction_m
+        bound_rad = p.max_correction_rad
+        if dpath is not None:
+            bound_m = min(
+                bound_m, p.base_correction_m + p.trans_drift_rate * dpath
+            )
+        if drot_i is not None:
+            bound_rad = min(
+                bound_rad, p.base_correction_rad + p.rot_drift_rate * drot_i
+            )
+        # Overwhelming evidence: geometry this strong overrides the
+        # scaled bound (but never the hard ceiling). Off by default.
+        if p.evidence_override > 0 and n_inl >= p.evidence_override * p.min_inliers:
+            bound_m = p.max_correction_m
+            bound_rad = p.max_correction_rad
+        accept = d_trans <= bound_m and d_rot <= bound_rad
+        if self.debug is not None or _DEBUG_ENV:
+            rec = dict(
+                cand_node=int(self.node_id[best]),
+                matches=int(counts[best]), inliers=n_inl,
+                d_trans=d_trans, d_rot=d_rot,
+                dpath=dpath, drot=drot_i,
+                bound_m=bound_m, bound_rad=bound_rad, accept=accept,
+            )
+            if self.debug is not None:
+                self.debug.append(rec)
+            if _DEBUG_ENV:
+                import sys
+
+                print(f"[loop-gate] {rec}", file=sys.stderr)
+        if not accept:
             return None
         return LoopCandidate(
             db_index=int(self.node_id[best]),
