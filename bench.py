@@ -83,10 +83,12 @@ def device_metrics(vo, staged_imgs, n=48):
     }
 
 
-def bench_headline():
+def bench_headline(with_device_metrics=True):
     """Stereo VO frames/s per chip: full KITTI geometry, frames
     pre-staged on device (chip throughput — see the e2e metric for the
-    ingestion-included number)."""
+    ingestion-included number). Returns (fps, device_metrics_dict) —
+    the silicon numbers come from the same engine/executables, so they
+    cost one extra burst and zero compiles."""
     from viso_tpu.data import synthetic
     from viso_tpu.slam.engine import StereoVO, VOConfig
 
@@ -149,8 +151,14 @@ def bench_headline():
     # process() keeps results on device; wait for the last frame's pose.
     jax.block_until_ready((vo.R, vo.t))
     elapsed = time.perf_counter() - t0
+    dev = {}
+    if with_device_metrics:
+        try:
+            dev = device_metrics(vo, [il for il, _ in timed])
+        except Exception as e:  # noqa: BLE001 — never lose the headline
+            dev = {"device_metrics": f"error: {e}"}
     vo.close()
-    return (n_frames - warmup) / elapsed
+    return (n_frames - warmup) / elapsed, dev
 
 
 def bench_ba_iters(C=50, L=4096, iters=10, reps=3):
@@ -293,17 +301,25 @@ def bench_long_slam(n_frames=500, warmup=60):
     def next_pair():
         il = next(pre)
         ir = next(pre)
-        # uint8 H2D: 4x less tunnel/PCIe traffic than f32.
-        return (
+        # uint8 H2D: 4x less tunnel/PCIe traffic than f32; pre-uploaded
+        # one frame ahead (to_device) so the transfer overlaps the
+        # previous frame's compute instead of serializing with it.
+        return slam.to_device(
             np.clip(il, 0, 255).astype(np.uint8),
             np.clip(ir, 0, 255).astype(np.uint8),
         )
 
-    for _ in range(warmup):
-        slam.process(*next_pair())
+    nxt = next_pair()
+    for i in range(warmup):
+        cur, nxt = nxt, next_pair()
+        slam.process(*cur)
     t0 = time.perf_counter()
-    for _ in range(n_frames - warmup):
-        slam.process(*next_pair())
+    for i in range(n_frames - warmup):
+        cur = nxt
+        # Issue the next pair's H2D before dispatching this frame's
+        # compute (last iteration has nothing left to stage).
+        nxt = next_pair() if i < n_frames - warmup - 1 else None
+        slam.process(*cur)
     jax.block_until_ready((slam.R, slam.t))
     elapsed = time.perf_counter() - t0
     pre.close()
@@ -315,9 +331,83 @@ def bench_long_slam(n_frames=500, warmup=60):
     return float(ate), len(slam.loops), (n_frames - warmup) / elapsed
 
 
+def bench_e2e_fullres(n_frames=44, warmup=12):
+    """Ingestion-included stereo VO FPS at FULL KITTI resolution: C++
+    PNG decode + prefetch ring + one-frame-ahead uint8 H2D + the same
+    engine config as the headline (so its cached executables are
+    reused). On the dev tunnel this is transfer-bound (~0.9 MB/frame
+    at ~10 MB/s); the number quantifies exactly that caveat next to the
+    pre-staged headline."""
+    import tempfile
+
+    import jax
+
+    from viso_tpu.data import native, png_io, synthetic
+    from viso_tpu.slam.engine import StereoVO, VOConfig
+
+    H, W = 376, 1240
+    root = os.path.join(
+        tempfile.gettempdir(), f"viso_bench_fullres_{os.getuid()}_{n_frames}"
+    )
+    os.makedirs(root, exist_ok=True)
+    cfg = VOConfig(
+        height=H, width=W, baseline=0.537, num_features=512,
+        max_landmarks=2048, detect_grid=(6, 12), fast_threshold=20.0,
+        max_disparity=128, stats_max_lag=8, kf_max_gap=5, **KITTI_FULL,
+    )
+    intr = cfg.intrinsics()
+    done = os.path.join(root, "done")
+    if not os.path.exists(done):
+        rng = np.random.default_rng(42)
+        scene = synthetic.corridor_scene(rng, tex_size=1024)
+        Rs, ts = synthetic.forward_trajectory(n_frames, step=0.8, yaw_rate=0.003)
+        for i, (R, t) in enumerate(zip(Rs, ts)):
+            lp = os.path.join(root, f"L{i:04d}.png")
+            rp = os.path.join(root, f"R{i:04d}.png")
+            if os.path.exists(lp) and os.path.exists(rp):
+                continue
+            il, ir, _ = synthetic.make_stereo_pair(
+                scene, intr, R, t, H, W, baseline=cfg.baseline
+            )
+            png_io.write_gray_png(lp, il)
+            png_io.write_gray_png(rp, ir)
+        with open(done, "w") as f:
+            f.write("ok")
+    paths = []
+    for i in range(n_frames):
+        paths.append(os.path.join(root, f"L{i:04d}.png"))
+        paths.append(os.path.join(root, f"R{i:04d}.png"))
+
+    vo = StereoVO(cfg)
+    pre = native.Prefetcher(paths, ring=8, threads=3)
+
+    def next_pair():
+        il = next(pre)
+        ir = next(pre)
+        return vo.to_device(
+            np.clip(il, 0, 255).astype(np.uint8),
+            np.clip(ir, 0, 255).astype(np.uint8),
+        )
+
+    nxt = next_pair()
+    for i in range(warmup):
+        cur, nxt = nxt, next_pair()
+        vo.process(*cur)
+    t0 = time.perf_counter()
+    for i in range(n_frames - warmup):
+        cur = nxt
+        nxt = next_pair() if i < n_frames - warmup - 1 else None
+        vo.process(*cur)
+    jax.block_until_ready((vo.R, vo.t))
+    elapsed = time.perf_counter() - t0
+    pre.close()
+    vo.close()
+    return (n_frames - warmup) / elapsed
+
+
 def main():
-    fps = bench_headline()
-    extra = {}
+    fps, dev = bench_headline()
+    extra = dict(dev)
     if os.environ.get("VISO_BENCH_QUICK") != "1":
         try:
             extra["ba_iters_per_s_50kf_4096lm"] = round(bench_ba_iters(), 2)
@@ -327,12 +417,17 @@ def main():
             ate, loops, e2e_fps = bench_long_slam()
             extra["ate_rmse_m_500f_loop_slam"] = round(ate, 4)
             extra["loops_closed_500f"] = loops
-            # Includes PNG decode + H2D; on the dev tunnel (~10 MB/s)
-            # this is transfer-bound — on a PCIe host it matches the
-            # chip number. Both are reported so the claim is honest.
+            # Includes PNG decode + H2D (one frame ahead, overlapped);
+            # on the dev tunnel (~10 MB/s) this is transfer-bound — on a
+            # PCIe host it matches the chip number. Both are reported so
+            # the claim is honest.
             extra["e2e_ingest_fps_500f_half_res"] = round(e2e_fps, 2)
         except Exception as e:  # noqa: BLE001
             extra["long_slam"] = f"error: {e}"
+        try:
+            extra["e2e_ingest_fps_full_res"] = round(bench_e2e_fullres(), 2)
+        except Exception as e:  # noqa: BLE001
+            extra["e2e_ingest_fps_full_res"] = f"error: {e}"
 
     print(
         json.dumps(

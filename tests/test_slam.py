@@ -89,22 +89,17 @@ def test_slam_orbit_closes_loop(room):
     assert ate_pg < 0.85 * ate_odo, (ate_pg, ate_odo)
     assert ate_pg < 2.0, ate_pg
 
-    # Per-frame trajectory() must live in ONE world frame: frames
-    # recorded before a correction are epoch-mapped forward, so the last
-    # recorded pose must coincide with the live (corrected) pose.
+    # Per-frame trajectory() lives in the GRAPH world (loosely-coupled
+    # design: the live VO state is never corrected; trajectory() anchors
+    # each frame onto its node's solved pose). Keyframe-frame rows must
+    # therefore coincide with the pose-graph solution.
     R_all, t_all = slam.trajectory()
-    assert np.allclose(R_all[-1], np.asarray(slam.R), atol=1e-5)
-    assert np.allclose(t_all[-1], np.asarray(slam.t), atol=1e-4)
     c_frames = metrics.camera_centers(R_all, t_all)
+    c_pg = metrics.camera_centers(pg_R, pg_t)
     kf_frames_idx = list(pg_frames)
-    # Keyframe-frame rows of the per-frame trajectory should be close to
-    # the pose-graph solution for RECENT keyframes (older ones keep
-    # their online-estimate drift; the epoch map only fixes frame
-    # consistency, not hindsight).
-    d_last = np.linalg.norm(
-        c_frames[kf_frames_idx[-1]] - metrics.camera_centers(pg_R, pg_t)[-1]
-    )
-    assert d_last < 0.2, d_last
+    for k in (0, len(kf_frames_idx) // 2, len(kf_frames_idx) - 1):
+        d = np.linalg.norm(c_frames[kf_frames_idx[k]] - c_pg[k])
+        assert d < 1e-2, (k, d)
 
 
 def test_slam_loop_after_db_wrap(room):

@@ -53,6 +53,35 @@ def main():
     )
     slam = StereoSLAM(cfg, LoopParams(min_inliers=40, max_correction_m=4.0))
     slam.loop_db.debug = []
+    trace = os.environ.get("VISO_DIAG_TRACE") == "1"
+    if trace:
+        orig_track = slam._track_landmarks
+        orig_opt = slam._optimize_pose_graph
+
+        def ptrack(img):
+            out = orig_track(img)
+            n = int(np.asarray(out[0]).sum())
+            c = -np.asarray(slam.R).T @ np.asarray(slam.t)
+            f = slam.frame_idx
+            c_gt = -Rs[f].T @ ts[f]
+            print(
+                f"[trace] f{f} align={n} err={np.linalg.norm(c - c_gt):.3f}",
+                file=sys.stderr,
+            )
+            return out
+
+        def popt():
+            c0 = -np.asarray(slam.R).T @ np.asarray(slam.t)
+            orig_opt()
+            c1 = -np.asarray(slam.R).T @ np.asarray(slam.t)
+            print(
+                f"[trace] EVENT f{slam.frame_idx} K={len(slam.pg_R)} "
+                f"moved={np.linalg.norm(c1 - c0):.3f}",
+                file=sys.stderr,
+            )
+
+        slam._track_landmarks = ptrack
+        slam._optimize_pose_graph = popt
     pre = native.Prefetcher(paths, ring=16, threads=3)
     for _ in range(n_frames):
         il = np.clip(next(pre), 0, 255).astype(np.uint8)
@@ -74,6 +103,35 @@ def main():
                  candidates=len(slam.loop_db.debug))
         )
     )
+    # Edge-residual post-mortem: worst edges at the final solution.
+    from viso_tpu.backend import pose_graph as pg
+    import jax.numpy as jnp
+
+    for name, (Rset, tset) in (
+        ("solved", (slam.pg_R, slam.pg_t)),
+        ("raw", (slam.pg_raw_R, slam.pg_raw_t)),
+    ):
+        g, _ = pg.solve_padded(Rset, tset, slam.pg_edges, pg.PGParams(iters=0))
+        r = np.asarray(pg.residuals(g))
+        rn = np.linalg.norm(r, axis=-1)[: len(slam.pg_edges)]
+        worst = np.argsort(-rn)[:8]
+        n_seq = sum(1 for e in slam.pg_edges if abs(e[0] - e[1]) == 1)
+        for w in worst:
+            i, j, _, _, wt = slam.pg_edges[w]
+            kind = "seq" if abs(i - j) == 1 else "loop"
+            print(
+                json.dumps(
+                    dict(config=name, edge=int(w), kind=kind, i=int(i),
+                         j=int(j), weight=float(wt), resid=float(rn[w]))
+                ),
+                file=sys.stderr,
+            )
+        print(
+            f"[{name}] edges: {n_seq} seq + "
+            f"{len(slam.pg_edges) - n_seq} loop; "
+            f"median resid {np.median(rn):.4f}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -749,6 +749,7 @@ class StereoVO(BaseVO):
             )
             slot = self._insert_stereo_keyframe(pyr, img_left, img_right)
             self._refresh_templates(slot)
+            self._post_keyframe(slot, pyr)
             self.state = "tracking"
             self.last_pyr = pyr
             self.last_kf_frame = self.frame_idx
@@ -790,6 +791,9 @@ class StereoVO(BaseVO):
             # and landmarks. num_points refreshes from the next frame's
             # stats readback — no blocking sync here.
             self._refresh_templates(slot)
+            # Post-BA keyframe hook (SLAM layers add pose-graph nodes /
+            # loop detection here, seeing the refined pose and map).
+            self._post_keyframe(slot, pyr)
 
         self.last_pyr = pyr
         self._record(
@@ -897,6 +901,10 @@ class StereoVO(BaseVO):
             have,
         )
         return slot
+
+    def _post_keyframe(self, slot: int, pyr) -> None:
+        """Hook invoked after a keyframe is fully integrated (inserted,
+        window-BA-refined, templates rebuilt). Default: no-op."""
 
     def _next_kf_slot_peek(self) -> int:
         """Pick the slot for the next keyframe; pops the oldest from

@@ -4,34 +4,44 @@ BASELINE.json config 4 ("full stereo SLAM with loop closure + pose-graph
 optimization"). No reference counterpart exists (SURVEY.md §2) — the
 reference never had a backend at all.
 
-On every keyframe: BRIEF descriptors of the keyframe's landmark
-observations go into the LoopDatabase; a sequential odometry edge joins
-the persistent pose graph. When a verified loop candidate appears, the
-loop edge is added, the pose graph is re-optimized, and the node-wise
-corrections are propagated: window keyframes and loop-DB entries take
-their OWN node's solved pose, while the live camera/landmarks (which sit
-at the newest node) move by the newest node's correction.
+Architecture: LOOSELY COUPLED. The VO front-end runs entirely
+uncorrected — its map, camera pose, templates, and motion model are
+never touched by the pose graph. The graph is a parallel global
+estimation layer: every keyframe adds a node (raw odometry pose) and a
+sequential edge; verified loop candidates add loop edges; the solved
+node poses exist ONLY in the output (`trajectory()` re-anchors every
+frame onto its node's solved pose; `graph_trajectory()` returns the
+solved keyframe path).
 
-Trajectory bookkeeping is node-anchored: every frame records its nearest
-pose-graph node and that node's pose at record time; `trajectory()`
-re-expresses the frame against the node's FINAL solved pose. (Round 2
-instead applied the newest node's rigid correction to ALL past frames —
-which moved already-correct early frames away from ground truth by the
-accumulated correction of every later loop event, and corrupted the
-loop database the same way. Measured on the 500-frame orbit: odometry
-ATE 0.12 m became 4.0 m after nine accepted loops.)
+Why not feed corrections back into the live VO (tight coupling)?
+Measured on the 500-frame orbit benchmark: the front-end alone drifts
+0.12 m over 31 m of path, but each world remap (map + pose + motion
+model, all consistent) perturbed the tracker enough to multiply the
+between-event drift rate ~15x, and a run with 21 applied corrections
+landed at ATE 1.43 m — 12x WORSE than leaving odometry alone. Relative
+measurements (sequential and loop edges) are invariant to the choice, so
+keeping the live state raw loses nothing: the gate's drift-scaled
+bounds already account for raw drift growing with path length.
 """
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
+import os
+
 import numpy as np
 
 from viso_tpu.backend import pose_graph
-from viso_tpu.geometry import se3
 from viso_tpu.slam.engine import StereoVO, VOConfig
 from viso_tpu.slam.loop_closure import LoopDatabase, LoopParams
+
+import jax.numpy as jnp
+
+
+def _rel_np(Ra, ta, Rb, tb):
+    """T_a o T_b^-1 in NumPy (host-side pose bookkeeping)."""
+    R = Ra @ Rb.T
+    t = ta - R @ tb
+    return R, t
 
 
 class StereoSLAM(StereoVO):
@@ -39,103 +49,105 @@ class StereoSLAM(StereoVO):
         super().__init__(config)
         self.loop_params = loop_params or LoopParams()
         self.loop_db = LoopDatabase(self.loop_params, seed=config.seed + 1)
-        # Persistent pose graph over ALL keyframes (beyond the window).
+        # Pose graph over ALL keyframes (beyond the window).
+        # pg_raw_*: immutable odometry poses at node creation (the
+        # frame every edge is measured in). pg_R/pg_t: current best
+        # global estimates (solver init and output) — raw odometry
+        # increments integrated on top of the last solution.
+        self.pg_raw_R: list[np.ndarray] = []
+        self.pg_raw_t: list[np.ndarray] = []
         self.pg_R: list[np.ndarray] = []
         self.pg_t: list[np.ndarray] = []
         self.pg_frame: list[int] = []
         self.pg_edges: list[tuple] = []   # (i, j, R_ij, t_ij, weight)
         self.loops: list[dict] = []
-        # Per-frame anchor records: (node_id, R_node_snap, t_node_snap)
-        # with the node pose AS STORED at record time — the frame's pose
-        # and the snapshot share a world frame by construction.
-        self._anchors: list[tuple[int, np.ndarray, np.ndarray]] = []
+        # Per-frame anchor node (raw poses are immutable, so the node id
+        # is all trajectory() needs).
+        self._anchors: list[int] = []
         # Odometry arc-length integrals (m translated / rad rotated),
         # advanced per keyframe — the drift-scaled loop gate's clock.
-        # Invariant under rigid world corrections (distance traveled
-        # does not change when the frame is re-anchored).
         self._path_len = 0.0
         self._rot_len = 0.0
 
     # -- node-anchored trajectory --------------------------------------
     def _record(self, **kw):
         super()._record(**kw)
-        if self.pg_R:
-            node = len(self.pg_R) - 1
-            self._anchors.append(
-                (node, self.pg_R[node].copy(), self.pg_t[node].copy())
-            )
-        else:
-            self._anchors.append((-1, np.eye(3, np.float32), np.zeros(3, np.float32)))
+        self._anchors.append(len(self.pg_raw_R) - 1)
 
     def trajectory(self):
         """Per-frame world->cam poses with all pose-graph corrections.
 
-        Each frame is re-expressed against its anchor node's FINAL
-        solved pose: T_final = (T_frame o T_node_snap^-1) o T_node_now.
-        Frames recorded before any node exists pass through unchanged.
+        Each frame is re-expressed against its anchor node's SOLVED
+        pose: T_final = (T_frame o T_raw_node^-1) o T_node_solved.
+        The raw VO poses are never mutated; corrections exist only here.
         """
         R = np.stack([np.asarray(r.R) for r in self.results])
         t = np.stack([np.asarray(r.t) for r in self.results])
-        for i, (node, Rn_s, tn_s) in enumerate(self._anchors):
+        for i, node in enumerate(self._anchors):
             if node < 0:
                 continue
-            Rn_f, tn_f = self.pg_R[node], self.pg_t[node]
-            # T_rel = T_frame o T_node_snap^-1
-            R_rel = R[i] @ Rn_s.T
-            t_rel = t[i] - R_rel @ tn_s
-            R[i] = R_rel @ Rn_f
-            t[i] = R_rel @ tn_f + t_rel
+            R_rel, t_rel = _rel_np(
+                R[i], t[i], self.pg_raw_R[node], self.pg_raw_t[node]
+            )
+            R[i] = R_rel @ self.pg_R[node]
+            t[i] = R_rel @ self.pg_t[node] + t_rel
         return R, t
 
-    # Hook keyframe creation.
-    def _insert_stereo_keyframe(self, pyr, img_left, img_right, existing_obs=None):
-        slot = super()._insert_stereo_keyframe(
-            pyr, img_left, img_right, existing_obs
-        )
-        self._on_new_keyframe(slot, pyr)
-        return slot
-
-    def _on_new_keyframe(self, slot, pyr):
+    # Post-BA keyframe hook: the node pose and the DB entry see the
+    # window-BA-refined pose and landmarks.
+    def _post_keyframe(self, slot, pyr):
         p = self.loop_params
         m = self.map
         R_np = np.asarray(self.R)
         t_np = np.asarray(self.t)
 
-        # Pose-graph node + sequential edge.
-        node_id = len(self.pg_R)
-        self.pg_R.append(R_np.copy())
-        self.pg_t.append(t_np.copy())
+        # Pose-graph node + sequential edge (measured from RAW odometry).
+        node_id = len(self.pg_raw_R)
+        self.pg_raw_R.append(R_np.copy())
+        self.pg_raw_t.append(t_np.copy())
         self.pg_frame.append(self.frame_idx)
         if node_id > 0:
-            # Edge (i, j) carries T_ij := T_i o T_j^-1 — the convention
-            # backend/pose_graph.edge_residual expects.
-            R_rel, t_rel = se3.relative(
-                jnp.asarray(self.pg_R[node_id - 1]),
-                jnp.asarray(self.pg_t[node_id - 1]),
-                jnp.asarray(R_np), jnp.asarray(t_np),
+            R_rel, t_rel = _rel_np(
+                self.pg_raw_R[node_id - 1], self.pg_raw_t[node_id - 1],
+                R_np, t_np,
             )
             # An odometry edge that spans a forced lost-tracking recovery
             # is dead reckoning (the engine HELD the pose through the
-            # blackout): it is a low-confidence measurement, and at full
-            # weight it anchors the graph to a motion that never
-            # happened. Down-weight it so loop edges can redistribute
-            # the error across the gap.
+            # blackout): a low-confidence measurement that at full
+            # weight anchors the graph to motion that never happened.
             prev_f = self.pg_frame[node_id - 1]
             recovered = getattr(self, "_last_recovery_frame", -1) >= prev_f
             w_seq = 0.1 if recovered else 1.0
-            self.pg_edges.append(
-                (node_id - 1, node_id, np.asarray(R_rel), np.asarray(t_rel), w_seq)
+            self.pg_edges.append((node_id - 1, node_id, R_rel, t_rel, w_seq))
+            # Global estimate for the new node: raw FORWARD increment
+            # (T_k o T_{k-1}^-1 — the INVERSE of the edge measurement,
+            # which is stored as T_{k-1} o T_k^-1) on top of the
+            # previous node's solved estimate.
+            R_fwd, t_fwd = _rel_np(
+                R_np, t_np,
+                self.pg_raw_R[node_id - 1], self.pg_raw_t[node_id - 1],
             )
+            R_est = R_fwd @ self.pg_R[node_id - 1]
+            t_est = R_fwd @ self.pg_t[node_id - 1] + t_fwd
+            self.pg_R.append(R_est)
+            self.pg_t.append(t_est)
             # Advance the drift clock by this keyframe step's odometry.
-            c_prev = -self.pg_R[node_id - 1].T @ self.pg_t[node_id - 1]
+            c_prev = (
+                -self.pg_raw_R[node_id - 1].T @ self.pg_raw_t[node_id - 1]
+            )
             c_cur = -R_np.T @ t_np
             self._path_len += float(np.linalg.norm(c_cur - c_prev))
-            R_rel_np = np.asarray(R_rel)
             self._rot_len += float(
-                np.arccos(np.clip((np.trace(R_rel_np) - 1) / 2, -1, 1))
+                np.arccos(np.clip((np.trace(R_rel) - 1) / 2, -1, 1))
             )
+        else:
+            self.pg_R.append(R_np.copy())
+            self.pg_t.append(t_np.copy())
 
-        # Database entry: this keyframe's landmark observations.
+        # Database entry: this keyframe's landmark observations, stored
+        # in the RAW odometry frame (immutable — never corrected, so an
+        # entry's points and pose stay self-consistent forever, which is
+        # all PnP relative measurements need).
         obs_mask = np.asarray(m.obs_mask[slot])
         obs_uv = np.asarray(m.obs_uv[slot])
         pts = np.asarray(m.points)
@@ -159,8 +171,7 @@ class StereoSLAM(StereoVO):
         # Loop detection for this keyframe — only from a healthy state:
         # a keyframe inserted during/just after dead reckoning carries a
         # low-confidence pose, so a verified match would be compared
-        # against garbage odometry and a correction computed from it
-        # would anchor the graph to a phantom motion.
+        # against garbage odometry.
         recent_recovery = (
             self.frame_idx - getattr(self, "_last_recovery_frame", -(10**9))
             <= 2 * self.cfg.kf_min_gap
@@ -176,39 +187,51 @@ class StereoSLAM(StereoVO):
         if cand is not None:
             # cand.R_rel is T_cur o T_cand^-1; the (cand -> cur) edge
             # needs T_cand o T_cur^-1 — invert it.
-            R_e, t_e = map(
-                np.asarray,
-                se3.inverse(jnp.asarray(cand.R_rel), jnp.asarray(cand.t_rel)),
-            )
+            R_e = cand.R_rel.T
+            t_e = -cand.R_rel.T @ cand.t_rel
             # Loop edge weight: bounded multiple of the odometry weight.
             # Raw inlier counts (round 2) made one 60-inlier loop edge
-            # outweigh sixty odometry edges — a slightly-off loop
-            # measurement then bent the whole trajectory around itself.
+            # outweigh sixty odometry edges.
             w_loop = min(
                 float(cand.inliers) / self.loop_params.min_inliers, 3.0
             )
-            self.pg_edges.append(
-                (cand.db_index, node_id, R_e, t_e, w_loop)
-            )
+            self.pg_edges.append((cand.db_index, node_id, R_e, t_e, w_loop))
             self.loops.append(
                 {"from": node_id, "to": cand.db_index,
                  "frame": self.frame_idx, "inliers": cand.inliers}
             )
             # Throttle: optimize at most once per min_event_gap_kf
-            # keyframes. Accumulated loop edges are all incorporated at
-            # the next event; per-keyframe event storms churn the world
-            # faster than the tracker re-converges.
+            # keyframes; accumulated loop edges are all incorporated at
+            # the next solve.
             last_ev = getattr(self, "_last_event_node", -(10**9))
             if node_id - last_ev >= self.loop_params.min_event_gap_kf:
                 self._last_event_node = node_id
                 self._optimize_pose_graph()
 
     def _optimize_pose_graph(self):
+        """Re-solve the global graph. Touches ONLY pg_R/pg_t (the
+        output estimates) — the live VO state is deliberately never
+        corrected (see module docstring)."""
         K = len(self.pg_R)
         if K < 3 or not self.pg_edges:
             return
-        R_old = [r.copy() for r in self.pg_R]
-        t_old = [t.copy() for t in self.pg_t]
+        if os.environ.get("VISO_LOOP_DEBUG") == "1":
+            g0, _ = pose_graph.solve_padded(
+                self.pg_R, self.pg_t, self.pg_edges,
+                pose_graph.PGParams(iters=0),
+            )
+            rn = np.linalg.norm(
+                np.asarray(pose_graph.residuals(g0)), axis=-1
+            )[: len(self.pg_edges)]
+            import sys
+
+            w = int(np.argmax(rn))
+            print(
+                f"[pose-graph-pre] K={K} worst edge {w} "
+                f"({self.pg_edges[w][0]}->{self.pg_edges[w][1]}) "
+                f"resid={rn[w]:.3f} median={np.median(rn):.4f}",
+                file=sys.stderr,
+            )
         out, info = pose_graph.solve_padded(
             self.pg_R, self.pg_t, self.pg_edges,
             pose_graph.PGParams(iters=25),
@@ -216,96 +239,45 @@ class StereoSLAM(StereoVO):
         R_new = np.asarray(out.R)[:K]
         t_new = np.asarray(out.t)[:K]
 
-        # Solve-health gate: a correction of the newest node beyond the
-        # loop gate's hard ceilings means the solve diverged or the graph
-        # holds inconsistent measurements (observed at toy scale: an LM
-        # solve over lost-phase odometry edges moved the newest node
-        # 177 m). Reject the event: restore the graph, drop the edge.
-        c_old = -R_old[K - 1].T @ t_old[K - 1]
+        # Solve-health gate: the newest node moving beyond the loop
+        # gate's hard ceilings relative to its init means the solve
+        # diverged or the graph holds inconsistent measurements. Reject:
+        # drop the newest loop edge and keep the previous solution.
+        c_old = -self.pg_R[K - 1].T @ self.pg_t[K - 1]
         c_new = -R_new[K - 1].T @ t_new[K - 1]
         jump = float(np.linalg.norm(c_new - c_old))
         ang = float(
             np.arccos(
-                np.clip((np.trace(R_new[K - 1] @ R_old[K - 1].T) - 1) / 2, -1, 1)
+                np.clip(
+                    (np.trace(R_new[K - 1] @ self.pg_R[K - 1].T) - 1) / 2,
+                    -1, 1,
+                )
             )
         )
         lp = self.loop_params
         if jump > lp.max_correction_m or ang > lp.max_correction_rad:
             self.pg_edges.pop()
             self.loops.pop()
-            import os as _os
-
-            if _os.environ.get("VISO_LOOP_DEBUG") == "1":
-                import sys as _sys
+            if os.environ.get("VISO_LOOP_DEBUG") == "1":
+                import sys
 
                 print(
                     f"[pose-graph] REJECTED event: |jump|={jump:.2f} m "
                     f"ang={ang:.3f} rad exceeds gate ceilings",
-                    file=_sys.stderr,
+                    file=sys.stderr,
                 )
             return
-
-        self.pg_R = [R_new[k].copy() for k in range(K)]
-        self.pg_t = [t_new[k].copy() for k in range(K)]
-
-        # Newest-node correction G: maps newest-node-old-world points to
-        # the corrected world (G = T_new^-1 o T_old of the LAST node).
-        # The live landmarks and camera sit at the newest node, so G is
-        # their correction; window keyframes and DB entries instead take
-        # their OWN node's solved pose (node-wise, not rigid).
-        last = K - 1
-        T_old_l = (jnp.asarray(R_old[last]), jnp.asarray(t_old[last]))
-        T_new_l = (jnp.asarray(R_new[last]), jnp.asarray(t_new[last]))
-        G = se3.compose(*se3.inverse(*T_new_l), *T_old_l)
-        G_inv = se3.inverse(*G)
-        import os as _os
-
-        if _os.environ.get("VISO_LOOP_DEBUG") == "1":
-            import sys as _sys
+        if os.environ.get("VISO_LOOP_DEBUG") == "1":
+            import sys
 
             print(
                 f"[pose-graph] K={K} E={len(self.pg_edges)} "
                 f"cost {float(info['initial_cost']):.4f} -> "
-                f"{float(info['final_cost']):.4f} "
-                f"|G_t|={float(jnp.linalg.norm(G[1])):.3f}",
-                file=_sys.stderr,
+                f"{float(info['final_cost']):.4f} |corr|={jump:.3f}",
+                file=sys.stderr,
             )
-
-        # Live window: moved RIGIDLY by G (landmarks, keyframe poses,
-        # camera) so it stays internally consistent — setting window
-        # keyframes to their individually-solved node poses while
-        # landmarks move rigidly was tried and makes the next window BA
-        # fight the pose-graph correction (observed: the live pose ended
-        # up meters from both). The window's pg nodes keep their solved
-        # poses; the seam is exact at the newest node (G is defined so
-        # T_old_last o G^-1 == T_new_last) which is where the next
-        # sequential edge attaches.
-        m = self.map
-        pts_new = se3.transform(G[0], G[1], m.points)
-        kf_R_new = jnp.einsum("kij,jl->kil", m.kf_R, G_inv[0])
-        kf_t_new = jnp.einsum("kij,j->ki", m.kf_R, G_inv[1]) + m.kf_t
-        self.map = m._replace(
-            points=jnp.where(m.point_mask[:, None], pts_new, m.points),
-            kf_R=jnp.where(m.kf_mask[:, None, None], kf_R_new, m.kf_R),
-            kf_t=jnp.where(m.kf_mask[:, None], kf_t_new, m.kf_t),
-        )
-        R_cur, t_cur = se3.compose(self.R, self.t, *G_inv)
-        self.R, self.t = R_cur, t_cur
-        self.prev_R, self.prev_t = self.R, self.t
-
-        # Loop-DB entries follow their own node's correction:
-        # G_k = T_newk^-1 o T_oldk; points p' = G_k p; pose' = solved.
-        db = self.loop_db
-        n = db.count
-        for i in range(n):
-            node = int(db.node_id[i])
-            if node < 0 or node >= K:
-                continue
-            Gk_R = R_new[node].T @ R_old[node]
-            Gk_t = R_new[node].T @ (t_old[node] - t_new[node])
-            db.points_w[i] = db.points_w[i] @ Gk_R.T + Gk_t
-            db.R[i] = R_new[node]
-            db.t[i] = t_new[node]
+        self.pg_R = [R_new[k].copy() for k in range(K)]
+        self.pg_t = [t_new[k].copy() for k in range(K)]
 
     def graph_trajectory(self):
         """Keyframe trajectory after pose-graph corrections."""
