@@ -83,14 +83,19 @@ def device_metrics(vo, staged_imgs, n=48):
     }
 
 
-def bench_headline(with_device_metrics=True):
+def bench_headline(with_device_metrics=True, engine="vo"):
     """Stereo VO frames/s per chip: full KITTI geometry, frames
     pre-staged on device (chip throughput — see the e2e metric for the
     ingestion-included number). Returns (fps, device_metrics_dict) —
     the silicon numbers come from the same engine/executables, so they
-    cost one extra burst and zero compiles."""
+    cost one extra burst and zero compiles.
+
+    engine="slam" runs the identical sequence through StereoSLAM (loop
+    DB + pose-graph layer on its background worker) — the VERDICT r2
+    ask that slam-mode FPS be measured next to the VO headline."""
     from viso_tpu.data import synthetic
     from viso_tpu.slam.engine import StereoVO, VOConfig
+    from viso_tpu.slam.full import StereoSLAM
 
     H, W = 376, 1240
     n_frames = 44
@@ -130,7 +135,7 @@ def bench_headline(with_device_metrics=True):
         )
         frames.append((il, ir))
 
-    vo = StereoVO(cfg)
+    vo = StereoVO(cfg) if engine == "vo" else StereoSLAM(cfg)
     # Warmup: trigger every compile path (tracking + keyframe + BA).
     for il, ir in frames[:warmup]:
         vo.process(il, ir)
@@ -150,6 +155,8 @@ def bench_headline(with_device_metrics=True):
         vo.process(il, ir)
     # process() keeps results on device; wait for the last frame's pose.
     jax.block_until_ready((vo.R, vo.t))
+    if engine == "slam":
+        vo.join()   # the loop/pose-graph worker is part of slam's cost
     elapsed = time.perf_counter() - t0
     dev = {}
     if with_device_metrics:
@@ -428,6 +435,13 @@ def main():
             extra["e2e_ingest_fps_full_res"] = round(bench_e2e_fullres(), 2)
         except Exception as e:  # noqa: BLE001
             extra["e2e_ingest_fps_full_res"] = f"error: {e}"
+        try:
+            slam_fps, _ = bench_headline(
+                with_device_metrics=False, engine="slam"
+            )
+            extra["stereo_slam_fps_full_res"] = round(slam_fps, 2)
+        except Exception as e:  # noqa: BLE001
+            extra["stereo_slam_fps_full_res"] = f"error: {e}"
 
     print(
         json.dumps(

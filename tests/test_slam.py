@@ -49,6 +49,7 @@ def test_slam_orbit_closes_loop(room):
     slam = StereoSLAM(cfg, loop_params)
     for il, ir in frames:
         slam.process(il, ir)
+    slam.join()   # hooks run on a background worker; drain before asserting
 
     # The orbit revisits its start: a loop must have been detected.
     assert len(slam.loops) >= 1, "no loop closure detected"
@@ -133,6 +134,7 @@ def test_slam_loop_after_db_wrap(room):
     slam = StereoSLAM(cfg, loop_params)
     for il, ir in frames:
         slam.process(il, ir)
+    slam.join()
     slam.close()
 
     assert slam.loop_db.total > loop_params.capacity, (

@@ -89,6 +89,7 @@ def main():
         slam.process(il, ir)
     jax.block_until_ready((slam.R, slam.t))
     pre.close()
+    slam.join()
     for rec in slam.loop_db.debug:
         print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                           for k, v in rec.items()}))

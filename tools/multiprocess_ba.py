@@ -1,12 +1,21 @@
-"""Multi-process distributed-BA check (SURVEY.md §4d).
+"""Multi-process distributed-BA / distributed-ENGINE check (SURVEY §4d).
 
 Spawns N CPU processes that form a jax.distributed cluster (each with 2
-virtual devices), runs landmark-sharded BA over the global 2N-device
-mesh, and verifies every process computes the same final cost as a
-single-device solve. This exercises *cross-process* collectives — the
-same code path that rides ICI/DCN on a real multi-host pod slice.
+virtual devices) and verifies cross-process collectives — the same code
+path that rides ICI/DCN on a real multi-host pod slice — in two modes:
 
-Usage:  python tools/multiprocess_ba.py [--procs 2]
+  (default)  landmark-sharded BA solve over the global 2N-device mesh;
+             every process must match the single-device final cost.
+  --engine   a FULL StereoVO run with `distribute_ba=True`: per-frame
+             kernels execute replicated on each process's local device,
+             window BA rides the global mesh (camera blocks replicated,
+             landmarks sharded, reduced system psum'd across processes),
+             and the resulting trajectory must match a single-device
+             run of the same frames. Keyframe cadence is pinned
+             (kf_min_gap == kf_max_gap) so every process dispatches the
+             identical collective sequence (SPMD discipline).
+
+Usage:  python tools/multiprocess_ba.py [--procs 2] [--engine]
 """
 
 from __future__ import annotations
@@ -17,7 +26,66 @@ import subprocess
 import sys
 
 
-def worker(proc_id: int, num_procs: int, port: int):
+def engine_worker(proc_id: int, num_procs: int):
+    """Cross-process StereoVO with distribute_ba=True (see module doc)."""
+    import jax
+    import numpy as np
+
+    from viso_tpu.data import synthetic
+    from viso_tpu.geometry import camera
+    from viso_tpu.slam.engine import StereoVO, VOConfig
+    from viso_tpu.utils import metrics
+
+    H, W = 120, 160
+    intr_kw = dict(fx=140.0, fy=140.0, cx=W / 2 - 0.5, cy=H / 2 - 0.5)
+    intr = camera.Intrinsics.create(**intr_kw)
+    rng = np.random.default_rng(7)   # same seed on every process
+    scene = synthetic.corridor_scene(rng, tex_size=512)
+    n = 14
+    Rs, ts = synthetic.forward_trajectory(n, step=0.25)
+    frames = [
+        synthetic.make_stereo_pair(scene, intr, R, t, H, W, baseline=0.3)[:2]
+        for R, t in zip(Rs, ts)
+    ]
+
+    def cfg(**kw):
+        return VOConfig(
+            height=H, width=W, baseline=0.3, max_keyframes=4,
+            max_landmarks=256, num_features=96, detect_grid=(3, 4),
+            fast_threshold=8.0, max_disparity=48, ba_iters=4,
+            # Pinned cadence: keyframe decisions must not depend on
+            # async stats timing — every process has to dispatch the
+            # exact same collective sequence.
+            kf_min_gap=4, kf_max_gap=4,
+            **intr_kw, **kw,
+        )
+
+    def run(**kw):
+        vo = StereoVO(cfg(**kw))
+        for il, ir in frames:
+            vo.process(il, ir)
+        R_est, t_est = vo.trajectory()
+        vo.close()
+        return metrics.camera_centers(R_est, t_est)
+
+    c_single = run()
+    c_dist = run(distribute_ba=True)
+    c_gt = metrics.camera_centers(Rs, ts)
+    ate_s = metrics.ate_rmse(c_single, c_gt, align=True, with_scale=False)
+    ate_d = metrics.ate_rmse(c_dist, c_gt, align=True, with_scale=False)
+    diff = float(np.abs(c_single - c_dist).max())
+    ok = ate_s < 0.08 and ate_d < 0.08 and diff < 0.05
+    print(
+        f"[proc {proc_id}] ENGINE devices={jax.device_count()} "
+        f"(local {jax.local_device_count()}) ate_single={ate_s:.4f} "
+        f"ate_dist={ate_d:.4f} max_diff={diff:.4f} ok={ok}",
+        flush=True,
+    )
+    if not ok:
+        sys.exit(1)
+
+
+def worker(proc_id: int, num_procs: int, port: int, engine: bool = False):
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -31,6 +99,9 @@ def worker(proc_id: int, num_procs: int, port: int):
         num_processes=num_procs,
         process_id=proc_id,
     )
+    if engine:
+        engine_worker(proc_id, num_procs)
+        return
     import numpy as np
     import jax.numpy as jnp
 
@@ -95,10 +166,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--port", type=int, default=29571)
+    ap.add_argument("--engine", action="store_true",
+                    help="run the full StereoVO engine with distribute_ba")
     ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
     if args.worker is not None:
-        worker(args.worker, args.procs, args.port)
+        worker(args.worker, args.procs, args.port, engine=args.engine)
         return
     procs = []
     for pid in range(args.procs):
@@ -106,22 +179,21 @@ def main():
         env.pop("PYTHONPATH", None)  # keep the axon sitecustomize out
         env["PYTHONPATH"] = os.path.abspath(os.path.dirname(__file__) + "/..")
         env["JAX_PLATFORMS"] = "cpu"
-        procs.append(
-            subprocess.Popen(
-                [
-                    sys.executable, os.path.abspath(__file__),
-                    "--worker", str(pid),
-                    "--procs", str(args.procs),
-                    "--port", str(args.port),
-                ],
-                env=env,
-            )
-        )
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--worker", str(pid),
+            "--procs", str(args.procs),
+            "--port", str(args.port),
+        ]
+        if args.engine:
+            cmd.append("--engine")
+        procs.append(subprocess.Popen(cmd, env=env))
     rc = 0
     for p in procs:
         rc |= p.wait()
     if rc == 0:
-        print(f"MULTIPROCESS BA OK ({args.procs} processes)")
+        kind = "ENGINE" if args.engine else "BA"
+        print(f"MULTIPROCESS {kind} OK ({args.procs} processes)")
     sys.exit(rc)
 
 

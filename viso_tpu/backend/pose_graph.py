@@ -45,6 +45,14 @@ class PGParams(NamedTuple):
     lam_up: float = 4.0
     lam_down: float = 0.5
     num_fixed: int = 1
+    # Linear solver: "dense" materializes the (6K x 6K) system (exact,
+    # fine to a few hundred nodes), "pcg" is matrix-free block-Jacobi-
+    # preconditioned conjugate gradients on the edge list (O(E) memory —
+    # the dense H is ~151 MB at K=1024 and ~2.4 GB at 4096), "auto"
+    # switches to pcg above pcg_threshold nodes.
+    solver: str = "auto"
+    pcg_threshold: int = 320
+    pcg_iters: int = 96
 
 
 def edge_residual(Ri, ti, Rj, tj, R_ij, t_ij):
@@ -77,23 +85,7 @@ def compute_cost(graph: PoseGraph, params: PGParams = PGParams()):
 
 
 def _gn_step(R, t, graph: PoseGraph, lam, params: PGParams, K):
-    Ri, ti = R[graph.edge_i], t[graph.edge_i]
-    Rj, tj = R[graph.edge_j], t[graph.edge_j]
-
-    def res_fn(xi2, Ri, ti, Rj, tj, R_ij, t_ij):
-        return _edge_residual_perturbed(xi2, Ri, ti, Rj, tj, R_ij, t_ij)
-
-    zeros = jnp.zeros((graph.edge_i.shape[0], 12), R.dtype)
-    r = jax.vmap(res_fn)(zeros, Ri, ti, Rj, tj, graph.R_ij, graph.t_ij)
-    J = jax.vmap(jax.jacfwd(res_fn))(
-        zeros, Ri, ti, Rj, tj, graph.R_ij, graph.t_ij
-    )  # (E, 6, 12)
-    r_norm = jnp.linalg.norm(r, axis=-1)
-    w = (
-        graph.edge_weight
-        * graph.edge_mask
-        * robust.huber_weight(r_norm, params.huber)
-    )
+    r, J, w, f = _edge_system(R, t, graph, params)
     Ji = J[..., :6] * w[:, None, None]   # weighted (E, 6, 6) wrt node i
     Jj = J[..., 6:] * w[:, None, None]
 
@@ -115,14 +107,112 @@ def _gn_step(R, t, graph: PoseGraph, lam, params: PGParams, K):
     H = H.at[jnp.arange(K), jnp.arange(K)].add(
         lam * diag_scale[:, None, None] * eye6
     )
-    free = graph.node_mask & (jnp.arange(K) >= params.num_fixed)
-    f = free.astype(R.dtype)
     H = H * f[:, None, None, None] * f[None, :, None, None]
     H = H.at[jnp.arange(K), jnp.arange(K)].add((1.0 - f)[:, None, None] * eye6)
     b = b * f[:, None]
 
     H_flat = H.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
     delta = jnp.linalg.solve(H_flat, b.reshape(6 * K)).reshape(K, 6)
+    delta = jnp.where(jnp.isfinite(delta), delta, 0.0) * f[:, None]
+    R_new, t_new = jax.vmap(se3.left_update)(delta, R, t)
+    return R_new, t_new
+
+
+def _edge_system(R, t, graph: PoseGraph, params: PGParams):
+    """Shared LM linearization: per-edge Jacobians, residuals, robust
+    weights, and the gauge/free mask. Used by both linear solvers."""
+    Ri, ti = R[graph.edge_i], t[graph.edge_i]
+    Rj, tj = R[graph.edge_j], t[graph.edge_j]
+
+    def res_fn(xi2, Ri, ti, Rj, tj, R_ij, t_ij):
+        return _edge_residual_perturbed(xi2, Ri, ti, Rj, tj, R_ij, t_ij)
+
+    zeros = jnp.zeros((graph.edge_i.shape[0], 12), R.dtype)
+    r = jax.vmap(res_fn)(zeros, Ri, ti, Rj, tj, graph.R_ij, graph.t_ij)
+    J = jax.vmap(jax.jacfwd(res_fn))(
+        zeros, Ri, ti, Rj, tj, graph.R_ij, graph.t_ij
+    )  # (E, 6, 12)
+    r_norm = jnp.linalg.norm(r, axis=-1)
+    w = (
+        graph.edge_weight
+        * graph.edge_mask
+        * robust.huber_weight(r_norm, params.huber)
+    )
+    K = R.shape[0]
+    free = graph.node_mask & (jnp.arange(K) >= params.num_fixed)
+    return r, J, w, free.astype(R.dtype)
+
+
+def _gn_step_pcg(R, t, graph: PoseGraph, lam, params: PGParams, K):
+    """Matrix-free LM step: block-Jacobi-preconditioned CG on the edge
+    list. Never materializes H — each matvec is two gathers, two batched
+    6x12 products, and two scatter-adds over the E edges (O(E) compute
+    and memory vs the dense path's O(K^2) blocks + (6K)^2 solve)."""
+    r, J, w, f = _edge_system(R, t, graph, params)
+    Ji = J[..., :6]                    # (E, 6, 6) wrt node i
+    Jj = J[..., 6:]
+    ei, ej = graph.edge_i, graph.edge_j
+
+    # RHS b = -J^T W r and block-diagonal D_kk = sum J^T W J (scattered).
+    Jiw = Ji * w[:, None, None]
+    Jjw = Jj * w[:, None, None]
+    b = jnp.zeros((K, 6), R.dtype)
+    b = b.at[ei].add(-jnp.einsum("eai,ea->ei", Jiw, r))
+    b = b.at[ej].add(-jnp.einsum("eai,ea->ei", Jjw, r))
+    D = jnp.zeros((K, 6, 6), R.dtype)
+    D = D.at[ei].add(jnp.einsum("eai,eaj->eij", Jiw, Ji))
+    D = D.at[ej].add(jnp.einsum("eai,eaj->eij", Jjw, Jj))
+
+    # LM damping matches the dense path: lam * mean-diag scale * I.
+    eye6 = jnp.eye(6, dtype=R.dtype)
+    diag_scale = jnp.einsum("kii->k", D) / 6.0 + 1e-6
+    damp = lam * diag_scale
+    D_damped = D + damp[:, None, None] * eye6
+    # Gauge: fixed nodes get identity rows in H and 0 rhs.
+    D_prec = jnp.where(f[:, None, None] > 0, D_damped, eye6)
+    M_inv = jnp.linalg.inv(D_prec)
+    b = b * f[:, None]
+
+    def hv(v):
+        vi, vj = v[ei], v[ej]
+        y = (
+            jnp.einsum("eab,eb->ea", Ji, vi)
+            + jnp.einsum("eab,eb->ea", Jj, vj)
+        ) * w[:, None]
+        out = jnp.zeros((K, 6), R.dtype)
+        out = out.at[ei].add(jnp.einsum("eab,ea->eb", Ji, y))
+        out = out.at[ej].add(jnp.einsum("eab,ea->eb", Jj, y))
+        out = out + damp[:, None] * v
+        return out * f[:, None] + (1.0 - f)[:, None] * v
+
+    def prec(v):
+        return jnp.einsum("kij,kj->ki", M_inv, v)
+
+    def dot(a, bb):
+        return jnp.sum(a * bb)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b  # b - H @ 0
+    z0 = prec(r0)
+    p0 = z0
+
+    def body(state, _):
+        x, rr, z, pdir, rz = state
+        Hp = hv(pdir)
+        denom = dot(pdir, Hp)
+        alpha = jnp.where(denom > 1e-20, rz / denom, 0.0)
+        x = x + alpha * pdir
+        r_new = rr - alpha * Hp
+        z_new = prec(r_new)
+        rz_new = dot(r_new, z_new)
+        beta = jnp.where(rz > 1e-20, rz_new / rz, 0.0)
+        pdir = z_new + beta * pdir
+        return (x, r_new, z_new, pdir, rz_new), None
+
+    init = (x0, r0, z0, p0, dot(r0, z0))
+    (delta, _, _, _, _), _ = jax.lax.scan(
+        body, init, None, length=params.pcg_iters
+    )
     delta = jnp.where(jnp.isfinite(delta), delta, 0.0) * f[:, None]
     R_new, t_new = jax.vmap(se3.left_update)(delta, R, t)
     return R_new, t_new
@@ -186,12 +276,20 @@ def solve_padded(pg_R, pg_t, edges, params: PGParams = PGParams()):
 
 @partial(jax.jit, static_argnames=("params",))
 def solve(graph: PoseGraph, params: PGParams = PGParams()):
-    """LM pose-graph optimization; returns (graph, info)."""
+    """LM pose-graph optimization; returns (graph, info).
+
+    The linear solver is picked at trace time (K is static): dense
+    below params.pcg_threshold nodes, matrix-free PCG above.
+    """
     K = graph.R.shape[0]
+    use_pcg = params.solver == "pcg" or (
+        params.solver == "auto" and K > params.pcg_threshold
+    )
+    step = _gn_step_pcg if use_pcg else _gn_step
 
     def body(state, _):
         R, t, lam, cost = state
-        R_n, t_n = _gn_step(R, t, graph, lam, params, K)
+        R_n, t_n = step(R, t, graph, lam, params, K)
         new_cost = compute_cost(graph._replace(R=R_n, t=t_n), params)
         accept = new_cost < cost
         R = jnp.where(accept, R_n, R)

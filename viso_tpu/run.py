@@ -135,7 +135,10 @@ def main(argv=None):
     elif args.dataset == "tum":
         seq = datasets.load_tum(args.root, max_frames=args.max_frames)
     elif args.dataset == "euroc":
-        seq = datasets.load_euroc(args.root, max_frames=args.max_frames)
+        seq = datasets.load_euroc(
+            args.root, max_frames=args.max_frames,
+            stereo=args.mode != "mono",
+        )
     elif args.dataset == "dir":
         from viso_tpu.geometry import camera
 

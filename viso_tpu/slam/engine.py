@@ -437,14 +437,43 @@ class BaseVO:
             obs_mask=shard_cl, cam_mask=repl, point_mask=shard_l,
             cam_fixed=repl,
         )
-        dev0 = jax.devices()[0]
+        # The engine's single-device kernels live on THIS process's
+        # first device: in a multi-process cluster jax.devices()[0] may
+        # belong to another process (non-addressable).
+        dev0 = jax.local_devices()[0]
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            # Cross-process: the solver's outputs span non-addressable
+            # devices. Force them REPLICATED (XLA inserts the
+            # all-gather, collectively on every process), then read the
+            # local full copy and stage it back to the local device.
+            import functools as _ft
+
+            @_ft.partial(jax.jit, out_shardings=repl)
+            def collect(R, t, points, cost):
+                return R, t, points, cost
 
         def run(m, cam_fixed, pose_slot):
-            prob = jax.device_put(prep(m, cam_fixed), in_shardings)
+            prob = prep(m, cam_fixed)
+            if multiproc:
+                # Host-stage the (identical-on-every-process) problem so
+                # device_put can scatter it onto the global mesh.
+                prob = jax.tree.map(np.asarray, prob)
+            prob = jax.device_put(prob, in_shardings)
             out, info = solver(prob)
-            R, t, points, cost = jax.device_put(
-                (out.R, out.t, out.points, info["final_cost"]), dev0
-            )
+            if multiproc:
+                R, t, points, cost = collect(
+                    out.R, out.t, out.points, info["final_cost"]
+                )
+                R, t, points = (
+                    jax.device_put(np.asarray(x), dev0)
+                    for x in (R, t, points)
+                )
+                cost = np.asarray(cost)
+            else:
+                R, t, points, cost = jax.device_put(
+                    (out.R, out.t, out.points, info["final_cost"]), dev0
+                )
             m, R_new, t_new = finish(m, R, t, points, pose_slot)
             return m, cost, R_new, t_new
 

@@ -22,6 +22,15 @@ landed at ATE 1.43 m — 12x WORSE than leaving odometry alone. Relative
 measurements (sequential and loop edges) are invariant to the choice, so
 keeping the live state raw loses nothing: the gate's drift-scaled
 bounds already account for raw drift growing with path length.
+
+A second payoff of the uncoupled design: the whole keyframe hook
+(node bookkeeping, descriptor DB, loop detection, pose-graph solves)
+runs on a single background worker thread. Round 2's hook blocked the
+dispatch loop for 5+ separate D2H pulls (~150 ms behind the tunneled
+TPU) per keyframe; now the dispatch thread only snapshots immutable
+device arrays and enqueues. Node ids are assigned at enqueue time so
+frame->node anchoring stays exact; `trajectory()`/`graph_trajectory()`
+join the worker before reading.
 """
 
 from __future__ import annotations
@@ -68,11 +77,34 @@ class StereoSLAM(StereoVO):
         # advanced per keyframe — the drift-scaled loop gate's clock.
         self._path_len = 0.0
         self._rot_len = 0.0
+        # Background worker: the hook never touches live VO state, so
+        # it runs fully async off the dispatch thread. Node ids are
+        # assigned at ENQUEUE time (single worker => enqueue order ==
+        # execution order), keeping frame anchoring exact.
+        import concurrent.futures
+
+        self._hook_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="viso-loop"
+        )
+        self._hook_last = None
+        self._next_node = 0
+
+    def join(self):
+        """Block until all enqueued keyframe hooks have completed."""
+        if self._hook_last is not None:
+            self._hook_last.result()
+
+    def close(self):
+        super().close()
+        pool = getattr(self, "_hook_pool", None)
+        if pool is not None:
+            self._hook_pool = None
+            pool.shutdown(wait=True)
 
     # -- node-anchored trajectory --------------------------------------
     def _record(self, **kw):
         super()._record(**kw)
-        self._anchors.append(len(self.pg_raw_R) - 1)
+        self._anchors.append(self._next_node - 1)
 
     def trajectory(self):
         """Per-frame world->cam poses with all pose-graph corrections.
@@ -81,6 +113,7 @@ class StereoSLAM(StereoVO):
         pose: T_final = (T_frame o T_raw_node^-1) o T_node_solved.
         The raw VO poses are never mutated; corrections exist only here.
         """
+        self.join()
         R = np.stack([np.asarray(r.R) for r in self.results])
         t = np.stack([np.asarray(r.t) for r in self.results])
         for i, node in enumerate(self._anchors):
@@ -94,18 +127,37 @@ class StereoSLAM(StereoVO):
         return R, t
 
     # Post-BA keyframe hook: the node pose and the DB entry see the
-    # window-BA-refined pose and landmarks.
+    # window-BA-refined pose and landmarks. Dispatch-thread side: only
+    # snapshot immutable device arrays + scalars, then enqueue.
     def _post_keyframe(self, slot, pyr):
-        p = self.loop_params
-        m = self.map
-        R_np = np.asarray(self.R)
-        t_np = np.asarray(self.t)
+        node_id = self._next_node
+        self._next_node = node_id + 1
+        m = self.map                      # immutable NamedTuple snapshot
+        R_dev, t_dev = self.R, self.t     # immutable device arrays
+        frame_idx = self.frame_idx
+        tracked = getattr(self, "_n_tracked_cache", self.cfg.num_features)
+        recovery = getattr(self, "_last_recovery_frame", -(10**9))
+        # Start the D2H copies now so the worker's np.asarray finds the
+        # bytes already in flight (one issue point, no serial stalls).
+        for a in (R_dev, t_dev, m.obs_mask, m.obs_uv, m.points):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        self._hook_last = self._hook_pool.submit(
+            self._hook_task, node_id, slot, pyr, m, R_dev, t_dev,
+            frame_idx, tracked, recovery,
+        )
 
-        # Pose-graph node + sequential edge (measured from RAW odometry).
-        node_id = len(self.pg_raw_R)
+    def _hook_task(self, node_id, slot, pyr, m, R_dev, t_dev,
+                   frame_idx, tracked, recovery_frame):
+        p = self.loop_params
+        R_np = np.asarray(R_dev)
+        t_np = np.asarray(t_dev)
+        assert node_id == len(self.pg_raw_R)
         self.pg_raw_R.append(R_np.copy())
         self.pg_raw_t.append(t_np.copy())
-        self.pg_frame.append(self.frame_idx)
+        self.pg_frame.append(frame_idx)
         if node_id > 0:
             R_rel, t_rel = _rel_np(
                 self.pg_raw_R[node_id - 1], self.pg_raw_t[node_id - 1],
@@ -116,7 +168,7 @@ class StereoSLAM(StereoVO):
             # blackout): a low-confidence measurement that at full
             # weight anchors the graph to motion that never happened.
             prev_f = self.pg_frame[node_id - 1]
-            recovered = getattr(self, "_last_recovery_frame", -1) >= prev_f
+            recovered = recovery_frame >= prev_f
             w_seq = 0.1 if recovered else 1.0
             self.pg_edges.append((node_id - 1, node_id, R_rel, t_rel, w_seq))
             # Global estimate for the new node: raw FORWARD increment
@@ -163,7 +215,7 @@ class StereoSLAM(StereoVO):
         points_ok[:n] = True
         self.loop_db.add(
             pyr[0], jnp.asarray(kps), jnp.asarray(kp_mask),
-            points_w, points_ok, R_np, t_np, self.frame_idx,
+            points_w, points_ok, R_np, t_np, frame_idx,
             node_id=node_id,
             path_len=self._path_len, rot_len=self._rot_len,
         )
@@ -173,10 +225,8 @@ class StereoSLAM(StereoVO):
         # low-confidence pose, so a verified match would be compared
         # against garbage odometry.
         recent_recovery = (
-            self.frame_idx - getattr(self, "_last_recovery_frame", -(10**9))
-            <= 2 * self.cfg.kf_min_gap
+            frame_idx - recovery_frame <= 2 * self.cfg.kf_min_gap
         )
-        tracked = getattr(self, "_n_tracked_cache", self.cfg.num_features)
         if recent_recovery or tracked < self.cfg.min_tracked_points:
             return
         cand = self.loop_db.detect(
@@ -198,7 +248,7 @@ class StereoSLAM(StereoVO):
             self.pg_edges.append((cand.db_index, node_id, R_e, t_e, w_loop))
             self.loops.append(
                 {"from": node_id, "to": cand.db_index,
-                 "frame": self.frame_idx, "inliers": cand.inliers}
+                 "frame": frame_idx, "inliers": cand.inliers}
             )
             # Throttle: optimize at most once per min_event_gap_kf
             # keyframes; accumulated loop edges are all incorporated at
