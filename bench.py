@@ -139,6 +139,10 @@ def bench_headline(with_device_metrics=True, engine="vo"):
     # Warmup: trigger every compile path (tracking + keyframe + BA).
     for il, ir in frames[:warmup]:
         vo.process(il, ir)
+    if engine == "slam":
+        # Drain the loop-layer worker so its first-keyframe compiles
+        # (descriptor kernels) complete before the timed region.
+        vo.join()
 
     # Pre-stage the timed frames on device: this measures CHIP throughput
     # (track + keyframe + BA kernels). On a production host the uint8

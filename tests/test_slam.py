@@ -149,3 +149,58 @@ def test_slam_loop_after_db_wrap(room):
     # Every loop edge must reference a node that was in the ring then.
     for lp in slam.loops:
         assert 0 <= lp["to"] < lp["from"]
+
+
+def test_slam_checkpoint_resume(room, tmp_path):
+    """save_slam/load_slam restores the full SLAM state (map window,
+    pose graph, loop DB): the resumed engine keeps tracking and closes
+    loops against PRE-checkpoint places (SURVEY §5 checkpoint/resume,
+    extended from the map-only checkpoint to config-4 SLAM)."""
+    from viso_tpu.geometry import camera
+    from viso_tpu.utils import checkpoint
+
+    n = 72
+    intr = camera.Intrinsics.create(**INTR)
+    Rs, ts = synthetic.orbit_trajectory(n, radius=2.0)
+    frames = []
+    for R, t in zip(Rs, ts):
+        il, ir, _ = synthetic.make_stereo_pair(
+            room, intr, R, t, H, W, baseline=0.25
+        )
+        frames.append((il, ir))
+    cfg = VOConfig(
+        height=H, width=W, baseline=0.25,
+        max_keyframes=6, max_landmarks=512, num_features=128,
+        detect_grid=(4, 4), fast_threshold=12.0, max_disparity=48,
+        kf_min_gap=1, kf_max_gap=5, kf_min_visible_frac=0.7, **INTR,
+    )
+    lp = LoopParams(
+        capacity=64, num_features=128, guard=8, min_matches=25, min_inliers=15
+    )
+    cut = 40
+    slam = StereoSLAM(cfg, lp)
+    for il, ir in frames[:cut]:
+        slam.process(il, ir)
+    path = str(tmp_path / "slam.npz")
+    checkpoint.save_slam(path, slam, extra={"frame": cut - 1})
+    nodes_at_cut = len(slam.pg_raw_R)
+    slam.close()
+
+    slam2, extra = checkpoint.load_slam(path, cfg, lp)
+    assert extra["frame"] == cut - 1
+    assert len(slam2.pg_raw_R) == nodes_at_cut
+    for il, ir in frames[cut:]:
+        slam2.process(il, ir)
+    slam2.join()
+    # The orbit's closing frames must loop against PRE-checkpoint nodes.
+    assert slam2.loops, "no loop closed after resume"
+    assert any(lo["to"] < nodes_at_cut for lo in slam2.loops)
+    # Resumed per-frame trajectory must track the closing arc of the
+    # orbit (frames cut..n-1 in the graph world).
+    R_all, t_all = slam2.trajectory()
+    assert len(R_all) == n - cut
+    c_est = metrics.camera_centers(R_all, t_all)
+    c_gt = metrics.camera_centers(Rs[cut:], ts[cut:])
+    ate = metrics.ate_rmse(c_est, c_gt, align=True, with_scale=False)
+    slam2.close()
+    assert ate < 1.0, ate

@@ -90,3 +90,23 @@ def test_run_logger(tmp_path):
 
     rec = json.loads(lines[3])
     assert rec["tracked"] == 13
+
+
+def test_export_map_html(tmp_path, rng):
+    from viso_tpu.utils import viz
+
+    pts = rng.normal(0, 3, (64, 3)).astype(np.float32)
+    mask = np.ones(64, bool)
+    mask[50:] = False
+    traj = np.cumsum(rng.normal(0, 0.1, (20, 3)), axis=0).astype(np.float32)
+    path = str(tmp_path / "map.html")
+    viz.export_map_html(pts, mask, traj, path)
+    html = open(path).read()
+    assert html.startswith("<!doctype html>")
+    assert "const POINTS" in html and "const TRAJ" in html
+    # Only masked-in landmarks embedded.
+    import json as _json
+
+    start = html.index("const POINTS = ") + len("const POINTS = ")
+    end = html.index(";\n", start)
+    assert len(_json.loads(html[start:end])) == 50

@@ -36,6 +36,43 @@ def _brief_pattern(seed: int = 17):
 
 _PATTERN = jnp.asarray(_brief_pattern())
 
+# Descriptor grid: pattern radius 15 + 1 bilinear tap, centered; grid
+# index i maps to pixel offset i - _HALF from the (rounded) keypoint.
+_WIN = 34
+_HALF = _WIN // 2
+
+
+def _pattern_matrix():
+    """(WIN*WIN, 2*DESC_BITS) constant bilinear-tap matrix.
+
+    With keypoints rounded to integer pixels, every pattern sample sits
+    at a FIXED fractional offset from the window center, so its 4-tap
+    bilinear weights are constants: all 2*256 samples for all N
+    keypoints become ONE (N, WIN^2) x (WIN^2, 512) MXU matmul against
+    the DMA-extracted windows. The naive formulation (262k irregular
+    gathers per call at N=512) cost ~40 ms/keyframe on v5e — gathers
+    are the one thing TPUs cannot do fast.
+    """
+    pat = _brief_pattern().reshape(-1, 2)          # (512, 2) offsets
+    W = np.zeros((_WIN * _WIN, pat.shape[0]), np.float32)
+    for s, (du, dv) in enumerate(pat):
+        u = _HALF + du
+        v = _HALF + dv
+        x0, y0 = int(np.floor(u)), int(np.floor(v))
+        fx, fy = u - x0, v - y0
+        for (yy, xx, w) in (
+            (y0, x0, (1 - fx) * (1 - fy)),
+            (y0, x0 + 1, fx * (1 - fy)),
+            (y0 + 1, x0, (1 - fx) * fy),
+            (y0 + 1, x0 + 1, fx * fy),
+        ):
+            if 0 <= yy < _WIN and 0 <= xx < _WIN:
+                W[yy * _WIN + xx, s] += w
+    return W
+
+
+_PATTERN_MAT = jnp.asarray(_pattern_matrix())
+
 
 @jax.jit
 def compute(img_smooth, kps, mask):
@@ -45,13 +82,36 @@ def compute(img_smooth, kps, mask):
     level 1 of the pyramid upsampled is fine too).
     kps: (N, 2); mask: (N,).
     Returns desc (N, 256) bfloat16 in {-1, +1} (0 rows where masked).
+
+    Keypoints are rounded to integer pixels (BRIEF comparisons are
+    binarized — sub-pixel shifts are below its discriminability). Each
+    keypoint's window arrives via one DMA; a separable hat-weight
+    matmul re-centers it onto the canonical 34x34 grid (exact pixel
+    copies for integer centers), and the constant pattern matrix turns
+    all 2*256 bilinear pattern samples of all N keypoints into a single
+    (N, 34^2) x (34^2, 512) MXU matmul. The naive formulation (262k
+    irregular gathers per call at N=512) cost ~40 ms/keyframe on v5e —
+    gathers are the one thing TPUs cannot do fast.
     """
-    pat = _PATTERN  # (256, 2, 2)
-    uv = kps[:, None, None, :] + pat[None]  # (N, 256, 2, 2)
-    vals = sampling.bilinear(img_smooth, uv)  # (N, 256, 2)
-    bits = (vals[..., 0] < vals[..., 1])
+    from viso_tpu.geometry import extract_pallas
+
+    H, W_img = img_smooth.shape
+    kpi = jnp.round(kps)
+    win, base = extract_pallas.extract_windows_fast(img_smooth, kpi, _WIN)
+    grid = sampling.sample_patch_grid(win, base, kpi, _HALF)  # (N,34,34)
+    # Keypoints whose grid would clamp at the image border are masked
+    # (clamped samples corrupt the pattern comparisons).
+    ok = (
+        mask
+        & (kpi[:, 0] >= _HALF) & (kpi[:, 0] < W_img - _HALF)
+        & (kpi[:, 1] >= _HALF) & (kpi[:, 1] < H - _HALF)
+    )
+    n = kps.shape[0]
+    vals = grid.reshape(n, -1) @ _PATTERN_MAT          # (N, 512) MXU
+    vals = vals.reshape(n, DESC_BITS, 2)
+    bits = vals[..., 0] < vals[..., 1]
     desc = jnp.where(bits, 1.0, -1.0).astype(jnp.bfloat16)
-    return desc * mask[:, None].astype(jnp.bfloat16)
+    return desc * ok[:, None].astype(jnp.bfloat16)
 
 
 @partial(jax.jit, static_argnames=())

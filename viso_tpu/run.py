@@ -177,8 +177,16 @@ def main(argv=None):
         args.height, args.width = first.image.shape
     vo = build_engine(seq, args)
     if args.resume:
-        vo.map, extra = checkpoint.load_map(args.resume)
-        print(f"resumed map from {args.resume}: {extra}")
+        if args.mode == "slam":
+            # Full SLAM restore (map + pose graph + loop DB): swap the
+            # freshly-built engine for the checkpointed one.
+            vo.close()
+            vo, extra = checkpoint.load_slam(
+                args.resume, vo.cfg, vo.loop_params
+            )
+        else:
+            vo.map, extra = checkpoint.load_map(args.resume)
+        print(f"resumed from {args.resume}: {extra}")
 
     log = vlog.RunLogger(path=os.path.join(args.out_dir, "frames.jsonl"))
     log.tick()
@@ -222,10 +230,16 @@ def main(argv=None):
         if args.viz_every and frame.index % args.viz_every == 0:
             write_overlay(frame.index)
         if args.checkpoint_every and frame.index and frame.index % args.checkpoint_every == 0:
-            checkpoint.save_map(
-                os.path.join(args.out_dir, "map.npz"), vo.map,
-                extra={"frame": frame.index},
-            )
+            if args.mode == "slam":
+                checkpoint.save_slam(
+                    os.path.join(args.out_dir, "slam.npz"), vo,
+                    extra={"frame": frame.index},
+                )
+            else:
+                checkpoint.save_map(
+                    os.path.join(args.out_dir, "map.npz"), vo.map,
+                    extra={"frame": frame.index},
+                )
 
     R_est, t_est = vo.trajectory()
     checkpoint.save_trajectory(os.path.join(args.out_dir, "trajectory.txt"), R_est, t_est)
@@ -262,6 +276,13 @@ def main(argv=None):
         kf_R=np.asarray(vo.map.kf_R)[list(vo.kf_order)] if vo.kf_order else None,
         kf_t=np.asarray(vo.map.kf_t)[list(vo.kf_order)] if vo.kf_order else None,
         path=os.path.join(args.out_dir, "map_topdown.png"),
+    )
+    # Interactive 3-D viewer (the reference's Pangolin window,
+    # main.cpp:56-103, as a self-contained HTML artifact).
+    viz.export_map_html(
+        np.asarray(vo.map.points), np.asarray(vo.map.point_mask),
+        metrics.camera_centers(R_est, t_est),
+        path=os.path.join(args.out_dir, "map.html"),
     )
 
     with open(os.path.join(args.out_dir, "summary.json"), "w") as f:

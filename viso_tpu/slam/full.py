@@ -199,9 +199,12 @@ class StereoSLAM(StereoVO):
         # Database entry: this keyframe's landmark observations, stored
         # in the RAW odometry frame (immutable — never corrected, so an
         # entry's points and pose stay self-consistent forever, which is
-        # all PnP relative measurements need).
-        obs_mask = np.asarray(m.obs_mask[slot])
-        obs_uv = np.asarray(m.obs_uv[slot])
+        # all PnP relative measurements need). Pull the FULL arrays
+        # (their D2H copies were issued at enqueue time and have landed
+        # by now) and slice host-side — indexing the device array here
+        # would dispatch a fresh device op + transfer per field.
+        obs_mask = np.asarray(m.obs_mask)[slot]
+        obs_uv = np.asarray(m.obs_uv)[slot]
         pts = np.asarray(m.points)
         idx = np.nonzero(obs_mask)[0][: p.num_features]
         n = len(idx)
