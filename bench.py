@@ -125,7 +125,7 @@ def bench_headline(with_device_metrics=True, engine="vo"):
     intr = cfg.intrinsics()
 
     rng = np.random.default_rng(42)
-    scene = synthetic.corridor_scene(rng, tex_size=1024)
+    scene = synthetic.corridor_scene(rng, tex_size=1024, far_z=60.0)
     # KITTI-like forward motion at ~1 m/frame.
     Rs, ts = synthetic.forward_trajectory(n_frames, step=0.8, yaw_rate=0.003)
     frames = []
@@ -168,6 +168,22 @@ def bench_headline(with_device_metrics=True, engine="vo"):
             dev = device_metrics(vo, [il for il, _ in timed])
         except Exception as e:  # noqa: BLE001 — never lose the headline
             dev = {"device_metrics": f"error: {e}"}
+        try:
+            from viso_tpu.utils import metrics
+
+            R_est, t_est = vo.trajectory()
+            dev["headline_seq_ate_m"] = round(
+                float(
+                    metrics.ate_rmse(
+                        metrics.camera_centers(R_est, t_est),
+                        metrics.camera_centers(Rs, ts),
+                        align=True, with_scale=False,
+                    )
+                ),
+                4,
+            )
+        except Exception as e:  # noqa: BLE001
+            dev["headline_seq_ate_m"] = f"error: {e}"
     vo.close()
     return (n_frames - warmup) / elapsed, dev
 
@@ -370,7 +386,7 @@ def bench_e2e_fullres(n_frames=44, warmup=12):
     done = os.path.join(root, "done")
     if not os.path.exists(done):
         rng = np.random.default_rng(42)
-        scene = synthetic.corridor_scene(rng, tex_size=1024)
+        scene = synthetic.corridor_scene(rng, tex_size=1024, far_z=60.0)
         Rs, ts = synthetic.forward_trajectory(n_frames, step=0.8, yaw_rate=0.003)
         for i, (R, t) in enumerate(zip(Rs, ts)):
             lp = os.path.join(root, f"L{i:04d}.png")

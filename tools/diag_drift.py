@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--landmarks", type=int, default=1024)
     ap.add_argument("--fast-threshold", type=float, default=6.0)
     ap.add_argument("--ba-iters", type=int, default=8)
+    ap.add_argument("--direct-iters", type=int, default=10)
+    ap.add_argument("--align-iters", type=int, default=10)
     ap.add_argument("--dump", default="", help="npz path for per-frame data")
     args = ap.parse_args()
 
@@ -79,6 +81,7 @@ def main():
         stats_max_lag=8, kf_max_gap=args.kf_max_gap,
         kf_min_gap=args.kf_min_gap,
         run_ba=not args.no_ba, ba_iters=args.ba_iters,
+        direct_iters=args.direct_iters, align_iters=args.align_iters,
     )
     vo = StereoVO(cfg)
     pre = native.Prefetcher(paths, ring=16, threads=3)

@@ -51,7 +51,7 @@ def main():
     )
     intr = cfg.intrinsics()
     rng = np.random.default_rng(42)
-    scene = synthetic.corridor_scene(rng, tex_size=1024)
+    scene = synthetic.corridor_scene(rng, tex_size=1024, far_z=60.0)
     Rs, ts = synthetic.forward_trajectory(12, step=0.8, yaw_rate=0.003)
     frames = [
         synthetic.make_stereo_pair(scene, intr, R, t, H, W, baseline=cfg.baseline)[:2]

@@ -41,7 +41,7 @@ def main():
     )
     intr = cfg.intrinsics()
     rng = np.random.default_rng(42)
-    scene = synthetic.corridor_scene(rng, tex_size=1024)
+    scene = synthetic.corridor_scene(rng, tex_size=1024, far_z=60.0)
     Rs, ts = synthetic.forward_trajectory(16, step=0.8, yaw_rate=0.003)
     frames = []
     for R, t in zip(Rs, ts):

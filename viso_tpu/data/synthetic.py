@@ -159,10 +159,15 @@ class PlaneScene:
         return depth
 
 
-def corridor_scene(rng, tex_size=768):
-    """Two side walls + ground + far wall: rich non-planar structure."""
+def corridor_scene(rng, tex_size=768, far_z=30.0):
+    """Two side walls + ground + far wall: rich non-planar structure.
+
+    far_z: distance of the end wall — sequences that drive forward must
+    keep the camera comfortably in front of it (a camera at z >= far_z
+    passes through the wall and sees only background).
+    """
     scene = PlaneScene()
-    far = frontal_plane(smooth_texture(rng, tex_size, tex_size), z=30.0)
+    far = frontal_plane(smooth_texture(rng, tex_size, tex_size), z=far_z)
     left = Plane(
         p0=np.array([-4.0, 0.0, 0.0]),
         n=np.array([1.0, 0.0, 0.0]),

@@ -73,6 +73,20 @@ class VOConfig:
     # Tracking
     ransac_threshold_px: float = 2.0
     min_tracked_points: int = 30
+    # Direct-tracking GN iterations per pyramid level. The reference
+    # caps at 100 with early stop (viso.cpp:666); with the constant-
+    # velocity warm start and coarse-to-fine cascade, 6 measures
+    # accuracy-equivalent to 10 on both the forward-corridor and the
+    # 2-lap orbit benchmarks while cutting on-device frame time ~18%
+    # (189 -> 231 FPS) — this is the main device-time dial of the
+    # per-frame path (~42% of the track kernel).
+    direct_iters: int = 6
+    # 2-DoF LK alignment iterations per level (ops/align.py, ~24% of the
+    # track kernel). The warm start is the converged direct pose, so the
+    # refinement is a <=4 px correction; 5 measures within noise of 10
+    # on the corridor and 2-lap-orbit benchmarks (on-device 229 -> 269
+    # FPS with direct_iters=6).
+    align_iters: int = 5
     # Active tracking subset: the per-frame kernels run on this many
     # landmark slots (valid + recently-tracked first) instead of the full
     # capacity — tracking cost scales with this, not max_landmarks.
@@ -280,7 +294,8 @@ class BaseVO:
             # templates: half the window DMAs of frame-to-frame tracking
             # and no per-frame template sampling / Jacobian build.
             R_d, t_d, cost = direct.estimate_pose_templated(
-                templates, pyr, pts_a, intr, R0, t0
+                templates, pyr, pts_a, intr, R0, t0,
+                direct.DirectParams(iters=cfg.direct_iters),
             )
             p_cam = se3.transform(R_d, t_d, pts_a)
             uv_pred, depth = cam_mod.project(p_cam, intr)
@@ -295,7 +310,8 @@ class BaseVO:
             has_obs = m.obs_mask[k_idx_a, active]
             uv_ref = m.obs_uv[k_idx_a, active]
             refined_a, err, ok_a = align.align(
-                m.kf_pyr, k_idx_a, uv_ref, pyr, uv_pred, visible & has_obs
+                m.kf_pyr, k_idx_a, uv_ref, pyr, uv_pred, visible & has_obs,
+                align.AlignParams(iters=cfg.align_iters),
             )
             x_ref = cam_mod.normalize(refined_a, intr)
             # 4 LM iterations: the warm start is the converged direct
