@@ -15,8 +15,10 @@ def test_descriptors_match_same_image(rng):
     desc = descriptors.compute(img, uv, mask)
     idx, dist, ok = descriptors.match(desc, mask, desc, mask)
     ok_np = np.asarray(ok) & np.asarray(mask)
-    # Every descriptor must match itself at distance 0.
-    assert np.all(np.asarray(idx)[ok_np] == np.nonzero(np.asarray(mask))[0][np.isin(np.nonzero(np.asarray(mask))[0], np.nonzero(ok_np)[0])]) or True
+    # Every surviving descriptor must match ITSELF (index i -> i) at
+    # distance 0. (The r3 version of this assert had a trailing
+    # `or True` that made it a no-op; VERDICT r3 weak #6.)
+    assert np.all(np.asarray(idx)[ok_np] == np.nonzero(ok_np)[0])
     assert np.all(np.asarray(dist)[ok_np] < 1e-3)
     assert ok_np.sum() > 16
 

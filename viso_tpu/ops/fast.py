@@ -141,6 +141,10 @@ def detect_grid_pyramid(
         s = score_map(pyr[lvl], thr)
         s = _nms(s)
         Hl, Wl = s.shape
+        if Hl < gh or Wl < gw:
+            # Level smaller than the grid (tiny image / deep pyramid):
+            # no room for one pixel per cell — stop descending.
+            break
         ch, cw = max(1, Hl // gh), max(1, Wl // gw)
         s_c = s[: gh * ch, : gw * cw].reshape(gh, ch, gw, cw)
         s_c = jnp.moveaxis(s_c, 2, 1).reshape(gh * gw, ch * cw)
@@ -166,6 +170,10 @@ def detect_grid_pyramid(
         all_uv.append(jnp.stack([u0, v0], axis=-1))        # (G, per_cell, 2)
         all_key.append(key)
         all_score.append(vals)
+    if not all_uv:
+        raise ValueError(
+            f"image {pyr[0].shape} smaller than detection grid {grid}"
+        )
     uv = jnp.concatenate(all_uv, axis=1)                   # (G, levels*pc, 2)
     key = jnp.concatenate(all_key, axis=1)
     score = jnp.concatenate(all_score, axis=1)

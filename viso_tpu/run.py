@@ -217,8 +217,13 @@ def main(argv=None):
 
     import itertools
 
+    # Source indices of processed frames: dataset readers may skip
+    # unreadable frames (e.g. EuRoC pairs), so ground truth must be
+    # paired by Frame.index, not by position (ADVICE r3).
+    processed_idx: list[int] = []
     for frame in itertools.chain([first], frames_iter):
         r = step(frame)
+        processed_idx.append(frame.index)
         log.log_frame(
             frame.index,
             num_tracked=r.num_tracked,
@@ -248,7 +253,9 @@ def main(argv=None):
 
     if seq.gt_R is not None:
         n = len(R_est)
-        gt_R, gt_t = seq.gt_R[:n], seq.gt_t[:n]
+        sel = np.asarray(processed_idx[:n])
+        gt_R = np.asarray(seq.gt_R)[sel]
+        gt_t = np.asarray(seq.gt_t)[sel]
         c_est = metrics.camera_centers(R_est, t_est)
         c_gt = metrics.camera_centers(gt_R, gt_t)
         with_scale = args.mode == "mono"

@@ -161,10 +161,6 @@ class FrameResult:
     num_landmarks: int = 0
     is_keyframe: bool = False
     state: str = "init"
-    # World-frame epoch at record time: each loop-closure correction
-    # re-maps the world (slam/full.py); trajectory() composes the
-    # per-epoch corrections so all frames land in the FINAL frame.
-    epoch: int = 0
 
 
 class BaseVO:
@@ -730,34 +726,18 @@ class BaseVO:
         )
 
     def trajectory(self):
-        """Per-frame world->cam poses, all in the FINAL world frame.
+        """Per-frame world->cam poses as (N, 3, 3) / (N, 3) arrays.
 
-        Results hold device arrays (no per-frame sync); pulled in bulk
-        here. Frames recorded before a loop-closure world correction
-        (epoch e < latest) are mapped forward by the accumulated
-        correction M_e (p_final = M_e p_e), using the same composition
-        the live map received: R' = R M_e^-1 (rotation part),
-        t' = R (M_e^-1 t-part) + t.
+        Results hold device arrays (no per-frame sync). Pulled here as
+        ONE stacked device op + one D2H transfer: a per-frame
+        np.asarray loop costs a full link round-trip per frame (~30 ms
+        behind the tunneled TPU — ~30 s of pure readback tail on a
+        500-frame run).
         """
-        R = np.stack([np.asarray(r.R) for r in self.results])
-        t = np.stack([np.asarray(r.t) for r in self.results])
-        maps = getattr(self, "_epoch_maps", None)
-        if maps is not None and len(maps) > 1:
-            epochs = np.array([r.epoch for r in self.results])
-            for e, (M_R, M_t) in enumerate(maps[:-1]):
-                sel = epochs == e
-                if not sel.any():
-                    continue
-                Mi_R = M_R.T
-                Mi_t = -M_R.T @ M_t
-                t[sel] = np.einsum("nij,j->ni", R[sel], Mi_t) + t[sel]
-                R[sel] = np.einsum("nij,jk->nik", R[sel], Mi_R)
-        return R, t
+        return _pull_poses(self.results)
 
     def _record(self, **kw):
-        self.results.append(
-            FrameResult(R=self.R, t=self.t, epoch=getattr(self, "_epoch", 0), **kw)
-        )
+        self.results.append(FrameResult(R=self.R, t=self.t, **kw))
 
 
 class StereoVO(BaseVO):
@@ -1178,6 +1158,21 @@ class MonocularVO(BaseVO):
             self.map, prev_slot, slots, uv_prev, ok_alloc
         )
         self.map = map_state.set_observations(self.map, slot, slots, uv_cur, ok_alloc)
+
+
+def _pull_poses(results):
+    """Stack per-frame (R, t) device arrays and pull them in ONE D2H.
+
+    jnp.stack accepts a mix of device and host arrays, so results
+    recorded before/after a checkpoint restore both work.
+    """
+    if not results:
+        return (
+            np.zeros((0, 3, 3), np.float32), np.zeros((0, 3), np.float32)
+        )
+    R = np.asarray(jnp.stack([r.R for r in results]))
+    t = np.asarray(jnp.stack([r.t for r in results]))
+    return R.astype(np.float32), t.astype(np.float32)
 
 
 def _top_m_by_score(good, score, m):

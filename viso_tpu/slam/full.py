@@ -88,11 +88,32 @@ class StereoSLAM(StereoVO):
         )
         self._hook_last = None
         self._next_node = 0
+        # Loop edges added since the last ACCEPTED solve: indices into
+        # pg_edges / self.loops. A rejected solve rolls ALL of them back
+        # (with throttling, a bad solve may contain several accumulated
+        # edges — popping only the newest would leave an aliased edge in
+        # the graph to be incorporated un-gated later; ADVICE r3).
+        self._pending_loop_edges: list[int] = []
+        self._pending_loops: list[int] = []
+        self._last_event_node = -(10**9)
+        # True when a loop edge joined the graph after the last solve:
+        # join() flushes one final solve so runs whose last loops land
+        # inside the throttle window still get their corrections
+        # (ADVICE r3).
+        self._pg_dirty = False
+        # Hook failures (device errors etc.) are recorded, not raised:
+        # a poisoned worker would desync node ids for every later
+        # keyframe (ADVICE r3).
+        self.hook_errors: list[Exception] = []
 
     def join(self):
-        """Block until all enqueued keyframe hooks have completed."""
+        """Block until all enqueued keyframe hooks have completed, then
+        flush any pose-graph solve still pending behind the throttle."""
         if self._hook_last is not None:
             self._hook_last.result()
+        if self._pg_dirty:
+            self._pg_dirty = False
+            self._optimize_pose_graph()
 
     def close(self):
         super().close()
@@ -112,18 +133,25 @@ class StereoSLAM(StereoVO):
         Each frame is re-expressed against its anchor node's SOLVED
         pose: T_final = (T_frame o T_raw_node^-1) o T_node_solved.
         The raw VO poses are never mutated; corrections exist only here.
+        One stacked D2H pull + vectorized NumPy re-anchoring.
         """
         self.join()
-        R = np.stack([np.asarray(r.R) for r in self.results])
-        t = np.stack([np.asarray(r.t) for r in self.results])
-        for i, node in enumerate(self._anchors):
-            if node < 0:
-                continue
-            R_rel, t_rel = _rel_np(
-                R[i], t[i], self.pg_raw_R[node], self.pg_raw_t[node]
-            )
-            R[i] = R_rel @ self.pg_R[node]
-            t[i] = R_rel @ self.pg_t[node] + t_rel
+        from viso_tpu.slam.engine import _pull_poses
+
+        R, t = _pull_poses(self.results)
+        anchors = np.asarray(self._anchors[: len(R)])
+        sel = anchors >= 0
+        if sel.any():
+            a = anchors[sel]
+            raw_R = np.stack(self.pg_raw_R)[a]
+            raw_t = np.stack(self.pg_raw_t)[a]
+            sol_R = np.stack(self.pg_R)[a]
+            sol_t = np.stack(self.pg_t)[a]
+            # R_rel = R raw_R^T ; t_rel = t - R_rel raw_t
+            R_rel = np.einsum("nij,nkj->nik", R[sel], raw_R)
+            t_rel = t[sel] - np.einsum("nij,nj->ni", R_rel, raw_t)
+            R[sel] = np.einsum("nij,njk->nik", R_rel, sol_R)
+            t[sel] = np.einsum("nij,nj->ni", R_rel, sol_t) + t_rel
         return R, t
 
     # Post-BA keyframe hook: the node pose and the DB entry see the
@@ -151,6 +179,41 @@ class StereoSLAM(StereoVO):
 
     def _hook_task(self, node_id, slot, pyr, m, R_dev, t_dev,
                    frame_idx, tracked, recovery_frame):
+        """Worker-side keyframe hook. Failures degrade gracefully: a
+        placeholder node keeps ids dense so later hooks and trajectory()
+        stay consistent (one transient device error must not poison
+        every subsequent keyframe; ADVICE r3)."""
+        try:
+            self._hook_task_impl(
+                node_id, slot, pyr, m, R_dev, t_dev,
+                frame_idx, tracked, recovery_frame,
+            )
+        except Exception as e:  # noqa: BLE001 — record, don't poison
+            import sys
+
+            self.hook_errors.append(e)
+            print(
+                f"[viso-loop] keyframe hook failed (node {node_id}): "
+                f"{type(e).__name__}: {e}", file=sys.stderr,
+            )
+            try:
+                R_np, t_np = np.asarray(R_dev), np.asarray(t_dev)
+            except Exception:  # device array itself unreadable
+                if self.pg_raw_R:
+                    R_np = self.pg_raw_R[-1].copy()
+                    t_np = self.pg_raw_t[-1].copy()
+                else:
+                    R_np = np.eye(3, dtype=np.float32)
+                    t_np = np.zeros(3, np.float32)
+            while len(self.pg_raw_R) <= node_id:
+                self.pg_raw_R.append(R_np.copy())
+                self.pg_raw_t.append(t_np.copy())
+                self.pg_R.append(R_np.copy())
+                self.pg_t.append(t_np.copy())
+                self.pg_frame.append(frame_idx)
+
+    def _hook_task_impl(self, node_id, slot, pyr, m, R_dev, t_dev,
+                        frame_idx, tracked, recovery_frame):
         p = self.loop_params
         R_np = np.asarray(R_dev)
         t_np = np.asarray(t_dev)
@@ -248,17 +311,22 @@ class StereoSLAM(StereoVO):
             w_loop = min(
                 float(cand.inliers) / self.loop_params.min_inliers, 3.0
             )
+            self._pending_loop_edges.append(len(self.pg_edges))
+            self._pending_loops.append(len(self.loops))
             self.pg_edges.append((cand.db_index, node_id, R_e, t_e, w_loop))
             self.loops.append(
                 {"from": node_id, "to": cand.db_index,
                  "frame": frame_idx, "inliers": cand.inliers}
             )
+            self._pg_dirty = True
             # Throttle: optimize at most once per min_event_gap_kf
             # keyframes; accumulated loop edges are all incorporated at
-            # the next solve.
-            last_ev = getattr(self, "_last_event_node", -(10**9))
-            if node_id - last_ev >= self.loop_params.min_event_gap_kf:
+            # the next solve (join() flushes any still pending at the
+            # end of the run).
+            if node_id - self._last_event_node >= self.loop_params.min_event_gap_kf:
+                self._event_node_prev = self._last_event_node
                 self._last_event_node = node_id
+                self._pg_dirty = False
                 self._optimize_pose_graph()
 
     def _optimize_pose_graph(self):
@@ -309,14 +377,29 @@ class StereoSLAM(StereoVO):
         )
         lp = self.loop_params
         if jump > lp.max_correction_m or ang > lp.max_correction_rad:
-            self.pg_edges.pop()
-            self.loops.pop()
+            # Roll back EVERY loop edge added since the last accepted
+            # solve — the diverging solve may have accumulated several
+            # under the throttle, and any one of them may be the alias;
+            # popping only the newest would leave the rest to be
+            # incorporated un-gated later (ADVICE r3). Roll back the
+            # throttle clock too so the next candidate retries promptly.
+            for k in reversed(self._pending_loop_edges):
+                del self.pg_edges[k]
+            for k in reversed(self._pending_loops):
+                del self.loops[k]
+            n_dropped = len(self._pending_loop_edges)
+            self._pending_loop_edges.clear()
+            self._pending_loops.clear()
+            self._last_event_node = getattr(
+                self, "_event_node_prev", -(10**9)
+            )
             if os.environ.get("VISO_LOOP_DEBUG") == "1":
                 import sys
 
                 print(
                     f"[pose-graph] REJECTED event: |jump|={jump:.2f} m "
-                    f"ang={ang:.3f} rad exceeds gate ceilings",
+                    f"ang={ang:.3f} rad exceeds gate ceilings "
+                    f"({n_dropped} loop edge(s) dropped)",
                     file=sys.stderr,
                 )
             return
@@ -331,6 +414,9 @@ class StereoSLAM(StereoVO):
             )
         self.pg_R = [R_new[k].copy() for k in range(K)]
         self.pg_t = [t_new[k].copy() for k in range(K)]
+        # Accepted: the loop edges it incorporated are now permanent.
+        self._pending_loop_edges.clear()
+        self._pending_loops.clear()
 
     def graph_trajectory(self):
         """Keyframe trajectory after pose-graph corrections."""
