@@ -340,6 +340,30 @@ def bench_long_slam(n_frames=500, warmup=60):
     for i in range(warmup):
         cur, nxt = nxt, next_pair()
         slam.process(*cur)
+    # Pre-compile the fused loop-detection kernel: the first eligible
+    # detection fires ~30 keyframes in (the guard window), INSIDE the
+    # timed region — behind an empty compile cache that is a one-time
+    # 20-40 s compile that would be billed as frame time.
+    try:
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from viso_tpu.slam import loop_closure as _lc
+
+        _db = slam.loop_db
+        _p = _db.params
+        _lc._detect_fused_kernel(
+            _db.desc[0], _db.desc_mask[0],
+            _jnp.zeros((_p.num_features, 2), _jnp.float32),
+            _db.desc, _db.desc_mask, _db.points_w_dev, _db.points_ok_dev,
+            _jnp.ones(_p.capacity, bool), slam.intr,
+            _jnp.asarray(1e-5, _jnp.float32),
+            _jnp.asarray(_p.min_matches, _jnp.int32),
+            _jnp.asarray(_p.min_inliers, _jnp.int32),
+            _jax.random.PRNGKey(0),
+        ).block_until_ready()
+    except Exception:  # noqa: BLE001 — warmup only, never fail the bench
+        pass
     t0 = time.perf_counter()
     for i in range(n_frames - warmup):
         cur = nxt

@@ -43,6 +43,7 @@ from viso_tpu.backend import pose_graph
 from viso_tpu.slam.engine import StereoVO, VOConfig
 from viso_tpu.slam.loop_closure import LoopDatabase, LoopParams
 
+import jax
 import jax.numpy as jnp
 
 
@@ -155,29 +156,59 @@ class StereoSLAM(StereoVO):
         return R, t
 
     # Post-BA keyframe hook: the node pose and the DB entry see the
-    # window-BA-refined pose and landmarks. Dispatch-thread side: only
-    # snapshot immutable device arrays + scalars, then enqueue.
+    # window-BA-refined pose and landmarks. Dispatch-thread side:
+    # dispatch ONE jitted "digest" kernel (keypoint selection +
+    # descriptor compute, all async) and enqueue its outputs. The r3
+    # hook shipped the whole map snapshot to the worker, which then
+    # pulled full observation arrays and re-uploaded keypoints —
+    # several serial device round-trips per keyframe that fed the
+    # SLAM-vs-VO throughput gap (VERDICT r3 next #1).
     def _post_keyframe(self, slot, pyr):
         node_id = self._next_node
         self._next_node = node_id + 1
-        m = self.map                      # immutable NamedTuple snapshot
         R_dev, t_dev = self.R, self.t     # immutable device arrays
         frame_idx = self.frame_idx
         tracked = getattr(self, "_n_tracked_cache", self.cfg.num_features)
         recovery = getattr(self, "_last_recovery_frame", -(10**9))
+        if "loop_digest" not in self._kernels:
+            self._kernels["loop_digest"] = self._build_digest_kernel()
+        kps, kp_mask, desc, pts = self._kernels["loop_digest"](
+            self.map, slot, pyr[0]
+        )
         # Start the D2H copies now so the worker's np.asarray finds the
         # bytes already in flight (one issue point, no serial stalls).
-        for a in (R_dev, t_dev, m.obs_mask, m.obs_uv, m.points):
+        for a in (R_dev, t_dev, kps, kp_mask, pts):
             try:
                 a.copy_to_host_async()
             except AttributeError:
                 pass
         self._hook_last = self._hook_pool.submit(
-            self._hook_task, node_id, slot, pyr, m, R_dev, t_dev,
-            frame_idx, tracked, recovery,
+            self._hook_task, node_id, kps, kp_mask, desc, pts,
+            R_dev, t_dev, frame_idx, tracked, recovery,
         )
 
-    def _hook_task(self, node_id, slot, pyr, m, R_dev, t_dev,
+    def _build_digest_kernel(self):
+        """One jitted launch per keyframe: pick the loop layer's
+        keypoint set (observed landmarks first, ascending slot order —
+        identical to the r3 host-side np.nonzero selection) and compute
+        its steered BRIEF descriptors from the keyframe image."""
+        from viso_tpu.ops import descriptors
+
+        NF = self.loop_params.num_features
+
+        @jax.jit
+        def digest(m, slot, img0):
+            obs = m.obs_mask[slot]
+            order = jnp.argsort(-obs.astype(jnp.int32))[:NF]
+            kp_mask = obs[order]
+            kps = m.obs_uv[slot][order]
+            pts = m.points[order]
+            desc = descriptors.compute(img0, kps, kp_mask)
+            return kps, kp_mask, desc, pts
+
+        return digest
+
+    def _hook_task(self, node_id, kps, kp_mask, desc, pts, R_dev, t_dev,
                    frame_idx, tracked, recovery_frame):
         """Worker-side keyframe hook. Failures degrade gracefully: a
         placeholder node keeps ids dense so later hooks and trajectory()
@@ -185,7 +216,7 @@ class StereoSLAM(StereoVO):
         every subsequent keyframe; ADVICE r3)."""
         try:
             self._hook_task_impl(
-                node_id, slot, pyr, m, R_dev, t_dev,
+                node_id, kps, kp_mask, desc, pts, R_dev, t_dev,
                 frame_idx, tracked, recovery_frame,
             )
         except Exception as e:  # noqa: BLE001 — record, don't poison
@@ -212,8 +243,8 @@ class StereoSLAM(StereoVO):
                 self.pg_t.append(t_np.copy())
                 self.pg_frame.append(frame_idx)
 
-    def _hook_task_impl(self, node_id, slot, pyr, m, R_dev, t_dev,
-                        frame_idx, tracked, recovery_frame):
+    def _hook_task_impl(self, node_id, kps, kp_mask, desc, pts,
+                        R_dev, t_dev, frame_idx, tracked, recovery_frame):
         p = self.loop_params
         R_np = np.asarray(R_dev)
         t_np = np.asarray(t_dev)
@@ -262,27 +293,14 @@ class StereoSLAM(StereoVO):
         # Database entry: this keyframe's landmark observations, stored
         # in the RAW odometry frame (immutable — never corrected, so an
         # entry's points and pose stay self-consistent forever, which is
-        # all PnP relative measurements need). Pull the FULL arrays
-        # (their D2H copies were issued at enqueue time and have landed
-        # by now) and slice host-side — indexing the device array here
-        # would dispatch a fresh device op + transfer per field.
-        obs_mask = np.asarray(m.obs_mask)[slot]
-        obs_uv = np.asarray(m.obs_uv)[slot]
-        pts = np.asarray(m.points)
-        idx = np.nonzero(obs_mask)[0][: p.num_features]
-        n = len(idx)
-        kps = np.zeros((p.num_features, 2), np.float32)
-        kp_mask = np.zeros(p.num_features, bool)
-        points_w = np.zeros((p.num_features, 3), np.float32)
-        points_ok = np.zeros(p.num_features, bool)
-        kps[:n] = obs_uv[idx]
-        kp_mask[:n] = True
-        points_w[:n] = pts[idx]
-        points_ok[:n] = True
+        # all PnP relative measurements need). Keypoints, descriptors,
+        # and landmarks arrive from the dispatch-time digest kernel as
+        # DEVICE arrays (host mirrors land via the async copies issued
+        # at enqueue); the worker does no descriptor compute and no
+        # keypoint re-upload.
         self.loop_db.add(
-            pyr[0], jnp.asarray(kps), jnp.asarray(kp_mask),
-            points_w, points_ok, R_np, t_np, frame_idx,
-            node_id=node_id,
+            None, kps, kp_mask, pts, kp_mask, R_np, t_np, frame_idx,
+            node_id=node_id, desc=desc,
             path_len=self._path_len, rot_len=self._rot_len,
         )
 
@@ -295,9 +313,8 @@ class StereoSLAM(StereoVO):
         )
         if recent_recovery or tracked < self.cfg.min_tracked_points:
             return
-        cand = self.loop_db.detect(
-            pyr[0], jnp.asarray(kps), jnp.asarray(kp_mask),
-            R_np, t_np, self.intr,
+        cand = self.loop_db.detect_fused(
+            desc, kps, kp_mask, R_np, t_np, self.intr,
             path_len=self._path_len, rot_len=self._rot_len,
         )
         if cand is not None:

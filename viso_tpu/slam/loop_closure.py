@@ -129,6 +129,15 @@ class LoopDatabase:
         self.kp_uv = np.zeros((p.capacity, p.num_features, 2), np.float32)
         self.points_w = np.zeros((p.capacity, p.num_features, 3), np.float32)
         self.points_ok = np.zeros((p.capacity, p.num_features), bool)
+        # Device mirrors of the landmark geometry: the fused detect
+        # kernel (detect_fused) runs match scoring AND PnP verification
+        # on device in one launch, so candidate landmarks must already
+        # live there — re-uploading per detection would serialize an
+        # H2D into every loop check.
+        self.points_w_dev = jnp.zeros(
+            (p.capacity, p.num_features, 3), jnp.float32
+        )
+        self.points_ok_dev = jnp.zeros((p.capacity, p.num_features), bool)
         self.R = np.zeros((p.capacity, 3, 3), np.float32)
         self.t = np.zeros((p.capacity, 3), np.float32)
         self.frame_id = np.full(p.capacity, -1, np.int64)
@@ -153,20 +162,32 @@ class LoopDatabase:
         return min(self.total, self.params.capacity)
 
     def add(self, img_smooth, kps, kp_mask, points_w, points_ok, R, t,
-            frame_id, node_id=-1, path_len=0.0, rot_len=0.0):
+            frame_id, node_id=-1, path_len=0.0, rot_len=0.0, desc=None):
         """Store a keyframe: descriptors at `kps`, its pose, the 3-D
         landmarks associated with those keypoints (points_ok marks
         which), the caller's external `node_id`, and the odometry
         arc-length integrals at insertion (for the drift-scaled gate).
+        `desc` may carry precomputed descriptors (the engine's keyframe
+        digest kernel computes them inline with the insert — recomputing
+        here would double the descriptor work per keyframe).
         Returns the slot written (most spatially redundant unprotected
         entry recycled once full)."""
         if self.total < self.params.capacity:
             i = self.total
         else:
             i = self._evict_slot()
-        desc = descriptors.compute(img_smooth, kps, kp_mask)
+        if desc is None:
+            desc = descriptors.compute(img_smooth, kps, kp_mask)
+        # Device-side stores are async dispatches; the host mirrors
+        # below are what may block (callers pre-start their D2H).
         self.desc = self.desc.at[i].set(desc)
         self.desc_mask = self.desc_mask.at[i].set(kp_mask)
+        self.points_w_dev = self.points_w_dev.at[i].set(
+            jnp.asarray(points_w, jnp.float32)
+        )
+        self.points_ok_dev = self.points_ok_dev.at[i].set(
+            jnp.asarray(points_ok)
+        )
         self.kp_uv[i] = np.asarray(kps)
         self.points_w[i] = np.asarray(points_w)
         self.points_ok[i] = np.asarray(points_ok)
@@ -223,6 +244,25 @@ class LoopDatabase:
     def detect(self, img_smooth, kps, kp_mask, R_cur, t_cur, intr,
                path_len=None, rot_len=None) -> Optional[LoopCandidate]:
         """Look for a verified loop closure for the current keyframe."""
+        desc_q = descriptors.compute(img_smooth, kps, kp_mask)
+        return self.detect_fused(
+            desc_q, jnp.asarray(kps), kp_mask, R_cur, t_cur, intr,
+            path_len=path_len, rot_len=rot_len,
+        )
+
+    def detect_fused(self, desc_q, kps, kp_mask, R_cur, t_cur, intr,
+                     path_len=None, rot_len=None) -> Optional[LoopCandidate]:
+        """Loop detection with precomputed query descriptors.
+
+        The whole device side — capacity-wide match scoring, best-
+        candidate matching, and PnP RANSAC verification — is ONE jitted
+        launch returning a 16-float packed result, so the worker pays a
+        single D2H round-trip per detection. The staged r3 path pulled
+        counts, matches, and the PnP result separately: ~5 blocking
+        round-trips (~150 ms behind the tunneled TPU) per detection,
+        which was a main term of the SLAM-vs-VO throughput gap
+        (VERDICT r3 next #1).
+        """
         p = self.params
         # Temporal guard: skip the `guard` most recent insertions.
         eligible = (self.insert_seq >= 0) & (
@@ -230,45 +270,44 @@ class LoopDatabase:
         )
         if not eligible.any():
             return None
-        desc_q = descriptors.compute(img_smooth, kps, kp_mask)
-        # Score ALL stored keyframes at fixed capacity (one traced shape;
-        # slicing to the live count would retrace per insertion).
-        counts = np.asarray(_match_counts(desc_q, kp_mask, self.desc, self.desc_mask))
-        counts = np.where(eligible, counts, -1)
-        best = int(np.argmax(counts))
-        if counts[best] < p.min_matches:
+        self.key, sub = jax.random.split(self.key)
+        thresh = (p.pnp_threshold_px / float(intr.fx)) ** 2
+        packed = np.asarray(
+            _detect_fused_kernel(
+                desc_q, kp_mask, kps, self.desc, self.desc_mask,
+                self.points_w_dev, self.points_ok_dev,
+                jnp.asarray(eligible), intr,
+                jnp.asarray(thresh, jnp.float32),
+                jnp.asarray(p.min_matches, jnp.int32),
+                jnp.asarray(p.min_inliers, jnp.int32),
+                sub,
+            )
+        )
+        best_matches = int(packed[0])
+        best = int(packed[1])
+        n_3d = int(packed[2])
+        n_inl = int(packed[3])
+        R_meas = packed[4:13].reshape(3, 3).astype(np.float32)
+        t_meas = packed[13:16].astype(np.float32)
+        if best_matches < p.min_matches:
             if _DEBUG_ENV:
                 import sys
 
                 print(
-                    f"[loop-stage] best_matches={int(counts[best])} < "
+                    f"[loop-stage] best_matches={best_matches} < "
                     f"min_matches={p.min_matches} (cand node "
                     f"{int(self.node_id[best])})", file=sys.stderr,
                 )
             return None
-        # Geometric verification: candidate's 3-D landmarks vs our 2-D kps.
-        idx2, dist, ok = descriptors.match(
-            desc_q, kp_mask, self.desc[best], self.desc_mask[best]
-        )
-        idx2 = np.asarray(idx2)
-        ok = np.asarray(ok) & self.points_ok[best][idx2]
-        if ok.sum() < p.min_inliers:
+        if n_3d < p.min_inliers:
             if _DEBUG_ENV:
                 import sys
 
                 print(
-                    f"[loop-stage] matched-with-3d={int(ok.sum())} < "
+                    f"[loop-stage] matched-with-3d={n_3d} < "
                     f"min_inliers={p.min_inliers}", file=sys.stderr,
                 )
             return None
-        pts3d = jnp.asarray(self.points_w[best][idx2])
-        x = cam_mod.normalize(jnp.asarray(kps), intr)
-        self.key, sub = jax.random.split(self.key)
-        thresh = (p.pnp_threshold_px / float(intr.fx)) ** 2
-        res = pnp.pnp_ransac(
-            sub, pts3d, x, jnp.asarray(ok), threshold=thresh
-        )
-        n_inl = int(res.num_inliers)
         if n_inl < p.min_inliers:
             if _DEBUG_ENV:
                 import sys
@@ -278,25 +317,26 @@ class LoopDatabase:
                     f"min_inliers={p.min_inliers}", file=sys.stderr,
                 )
             return None
-        # res.(R, t) is the verified current-keyframe pose in world frame
-        # (from the candidate's landmarks); the relative edge measurement:
-        R_meas, t_meas = np.asarray(res.R), np.asarray(res.t)
-        R_rel, t_rel = se3.relative(
-            jnp.asarray(R_meas), jnp.asarray(t_meas),
-            jnp.asarray(self.R[best]), jnp.asarray(self.t[best]),
-        )
+        # Host-side NumPy from here: 3x3 pose algebra per candidate is
+        # microseconds on host but each jnp op would be a device
+        # dispatch from the worker thread.
+        R_cur = np.asarray(R_cur)
+        t_cur = np.asarray(t_cur)
+        R_db, t_db = self.R[best], self.t[best]
+        # Measured relative: T_meas o T_db^-1.
+        R_rel = R_meas @ R_db.T
+        t_rel = t_meas - R_rel @ t_db
         # Plausibility: measured relative vs the current odometry
         # estimate. Disagreement = accumulated drift (fine, that is what
         # the loop corrects) — unless it exceeds the configured bounds,
         # which marks a visually-aliased false positive.
-        R_est, t_est = se3.relative(
-            jnp.asarray(R_cur), jnp.asarray(t_cur),
-            jnp.asarray(self.R[best]), jnp.asarray(self.t[best]),
-        )
-        dR, dt = se3.compose(*se3.inverse(R_rel, t_rel), R_est, t_est)
-        d_trans = float(jnp.linalg.norm(dt))
+        R_est = R_cur @ R_db.T
+        t_est = t_cur - R_est @ t_db
+        dR = R_rel.T @ R_est
+        dt = R_rel.T @ (t_est - t_rel)
+        d_trans = float(np.linalg.norm(dt))
         d_rot = float(
-            np.arccos(np.clip((np.trace(np.asarray(dR)) - 1) / 2, -1, 1))
+            np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
         )
         # Drift-scaled bounds: the disagreement a TRUE loop may show is
         # the drift accrued since the candidate was stored, which grows
@@ -328,7 +368,7 @@ class LoopDatabase:
         if self.debug is not None or _DEBUG_ENV:
             rec = dict(
                 cand_node=int(self.node_id[best]),
-                matches=int(counts[best]), inliers=n_inl,
+                matches=best_matches, inliers=n_inl,
                 d_trans=d_trans, d_rot=d_rot,
                 dpath=dpath, drot=drot_i,
                 bound_m=bound_m, bound_rad=bound_rad, accept=accept,
@@ -343,7 +383,7 @@ class LoopDatabase:
             return None
         return LoopCandidate(
             db_index=int(self.node_id[best]),
-            matches=int(counts[best]),
+            matches=best_matches,
             inliers=n_inl,
             R_rel=np.asarray(R_rel),
             t_rel=np.asarray(t_rel),
@@ -359,3 +399,53 @@ def _match_counts(desc_q, mask_q, desc_db, mask_db):
         return jnp.sum(ok)
 
     return jax.vmap(one)(desc_db, mask_db)
+
+
+@jax.jit
+def _detect_fused_kernel(
+    desc_q, mask_q, kps_q, desc_db, mask_db, pts_db, pts_ok_db,
+    eligible, intr, thresh, min_matches, min_inliers, key,
+):
+    """Whole detection pipeline in one launch: capacity-wide match
+    scoring -> best candidate -> per-match association -> PnP RANSAC.
+
+    Returns a 16-float packed vector
+    [best_matches, best_slot, n_matched_with_3d, pnp_inliers, R(9), t(3)]
+    so the caller pays exactly one D2H round-trip. PnP (the expensive
+    stage: 512 vmapped DLT hypotheses + robust GN) runs under lax.cond
+    only when the match gates pass — most keyframes have no candidate,
+    and paying RANSAC for them would tax every keyframe's device time.
+    """
+    counts = _match_counts(desc_q, mask_q, desc_db, mask_db)
+    counts = jnp.where(eligible, counts, -1)
+    best = jnp.argmax(counts)
+    idx2, _, ok = descriptors.match(
+        desc_q, mask_q, desc_db[best], mask_db[best]
+    )
+    ok = ok & pts_ok_db[best][idx2]
+    n_3d = jnp.sum(ok)
+    pts3d = pts_db[best][idx2]
+    x = cam_mod.normalize(kps_q, intr)
+    is_cand = (counts[best] >= min_matches) & (n_3d >= min_inliers)
+
+    def run_pnp(_):
+        return pnp.pnp_ransac(key, pts3d, x, ok, threshold=thresh)
+
+    def skip_pnp(_):
+        return pnp.PnPResult(
+            jnp.eye(3, dtype=jnp.float32),
+            jnp.zeros(3, jnp.float32),
+            jnp.zeros_like(ok),
+            jnp.asarray(0, jnp.int32),
+        )
+
+    res = jax.lax.cond(is_cand, run_pnp, skip_pnp, None)
+    head = jnp.stack(
+        [
+            counts[best].astype(jnp.float32),
+            best.astype(jnp.float32),
+            n_3d.astype(jnp.float32),
+            res.num_inliers.astype(jnp.float32),
+        ]
+    )
+    return jnp.concatenate([head, res.R.reshape(-1), res.t])

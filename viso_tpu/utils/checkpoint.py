@@ -179,6 +179,9 @@ def load_slam(path: str, config, loop_params=None):
     db.kp_uv = data["db_kp_uv"].copy()
     db.points_w = data["db_points_w"].copy()
     db.points_ok = data["db_points_ok"].copy()
+    # Device mirrors for the fused detect kernel.
+    db.points_w_dev = jnp.asarray(db.points_w)
+    db.points_ok_dev = jnp.asarray(db.points_ok)
     db.R = data["db_R"].copy()
     db.t = data["db_t"].copy()
     db.frame_id = data["db_frame_id"].copy()
