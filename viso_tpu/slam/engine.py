@@ -210,6 +210,18 @@ class BaseVO:
         self.map = map_state.evict_keyframe(self.map, oldest)
         return oldest
 
+    def _next_kf_slot_peek(self) -> int:
+        """Pick the slot for the next keyframe; pops the oldest from
+        kf_order if the window is full (eviction itself happens inside
+        the insertion kernel)."""
+        cfg = self.cfg
+        if len(self.kf_order) < cfg.max_keyframes:
+            used = set(self.kf_order)
+            for s in range(cfg.max_keyframes):
+                if s not in used:
+                    return s
+        return self.kf_order.pop(0)
+
     def _motion_prediction(self):
         """Constant-velocity model: T_pred = (T_cur T_prev^-1) T_cur.
 
@@ -931,18 +943,6 @@ class StereoVO(BaseVO):
         """Hook invoked after a keyframe is fully integrated (inserted,
         window-BA-refined, templates rebuilt). Default: no-op."""
 
-    def _next_kf_slot_peek(self) -> int:
-        """Pick the slot for the next keyframe; pops the oldest from
-        kf_order if the window is full (eviction itself happens inside
-        the insertion kernel)."""
-        cfg = self.cfg
-        if len(self.kf_order) < cfg.max_keyframes:
-            used = set(self.kf_order)
-            for s in range(cfg.max_keyframes):
-                if s not in used:
-                    return s
-        return self.kf_order.pop(0)
-
 
 class MonocularVO(BaseVO):
     """Monocular VO: LK bootstrap + two-view init + direct/aligned tracking
@@ -1033,6 +1033,14 @@ class MonocularVO(BaseVO):
         """Drop the map and bootstrap a new segment at the current pose."""
         cfg = self.cfg
         self._last_track = None   # overlay data from the old segment is stale
+        # Scale prior for the new segment: monocular scale is
+        # unobservable across a re-init (the new map is mean-depth
+        # normalized, viso.cpp:622-637), so without a prior every
+        # recovery introduces a scale JUMP that dominates full-run ATE.
+        # The camera's speed is continuous through a short tracking
+        # loss, so the median per-frame translation over the last
+        # healthy frames anchors the new segment's scale.
+        self._scale_prior = self._recent_speed()
         self.map = map_state.empty(
             cfg.max_keyframes,
             cfg.max_landmarks,
@@ -1047,6 +1055,29 @@ class MonocularVO(BaseVO):
         self.num_reinits += 1
         # Seed immediately from the current frame.
         self._try_initialize(pyr)
+
+    def _recent_speed(self):
+        """Median per-frame camera-center speed (m/frame) over the last
+        HEALTHY frames (num_tracked above the tracking floor). Frames
+        of the collapse itself hold or drag the pose, so a fixed
+        recent-window median reads ~zero exactly when the prior is
+        needed. One small D2H pull per RE-INIT (rare), not per frame."""
+        healthy = [
+            (i, r)
+            for i, r in enumerate(self.results)
+            if r.num_tracked >= self.cfg.min_tracked_points
+        ]
+        take = healthy[-12:]
+        if len(take) < 5:
+            return None
+        idxs = np.array([i for i, _ in take])
+        R = np.stack([np.asarray(r.R) for _, r in take])
+        t = np.stack([np.asarray(r.t) for _, r in take])
+        c = -np.einsum("nji,nj->ni", R, t)
+        gaps = np.diff(idxs)
+        steps = np.linalg.norm(np.diff(c, axis=0), axis=-1) / gaps
+        s = float(np.median(steps))
+        return s if s > 1e-6 else None
 
     # -- initialization (reference viso.cpp:13-111) --------------------
     def _try_initialize(self, pyr):
@@ -1083,6 +1114,17 @@ class MonocularVO(BaseVO):
         # twoview works in the reference camera's frame (world == ref
         # cam); compose with the segment base pose so a re-init segment
         # continues the global trajectory.
+        prior = getattr(self, "_scale_prior", None)
+        if prior is not None and self.num_reinits > 0:
+            # Rescale the mean-depth-normalized bootstrap so its
+            # baseline matches speed x elapsed-frames from before the
+            # loss (rotation preserves norms: baseline == |res.t|).
+            gap = max(1, self.frame_idx - ref_idx)
+            meas = float(np.linalg.norm(np.asarray(res.t)))
+            if meas > 1e-9:
+                s = float(np.clip(prior * gap / meas, 0.1, 10.0))
+                res = res._replace(t=res.t * s, points=res.points * s)
+            self._scale_prior = None
         Rb, tb = self.init_base
         R1, t1 = se3.compose(res.R, res.t, Rb, tb)
         Rb_inv, tb_inv = se3.inverse(Rb, tb)
@@ -1109,55 +1151,86 @@ class MonocularVO(BaseVO):
         self.state = "tracking"
 
     # -- keyframe insertion with new-landmark triangulation ------------
+    def _build_mono_kf_kernel(self):
+        """ONE jitted launch for the whole mono keyframe insertion:
+        conditional eviction, keyframe + tracked-observation insert,
+        FAST detection in the previous keyframe, LK track to the new
+        frame, two-view triangulation with reprojection gates, landmark
+        allocation. The r3 host-orchestrated version issued ~30 eager
+        device ops per keyframe — ~850 ms behind the tunneled TPU
+        (~RTT per op), which capped monocular throughput at ~6 FPS
+        while the stereo path (already a super-kernel) ran at 100+."""
+        cfg = self.cfg
+        intr = self.intr
+        per_cell = max(
+            1, cfg.num_features // (cfg.detect_grid[0] * cfg.detect_grid[1])
+        )
+        from viso_tpu.geometry import triangulation as tri
+
+        @jax.jit
+        def insert(m, slot, do_evict, prev_slot, R, t, frame_id, pyr,
+                   ok_align, refined):
+            m_ev = map_state.evict_keyframe(m, slot)
+            m = jax.tree.map(
+                lambda a, b: jnp.where(do_evict, a, b), m_ev, m
+            )
+            prev_R = m.kf_R[prev_slot]
+            prev_t = m.kf_t[prev_slot]
+            prev_pyr = tuple(lvl[prev_slot] for lvl in m.kf_pyr)
+            m = map_state.insert_keyframe(m, slot, R, t, frame_id, pyr)
+            m = map_state.set_observations(
+                m, slot, jnp.arange(cfg.max_landmarks), refined, ok_align
+            )
+            # New landmarks: detect in the previous keyframe image,
+            # LK-track to the current frame, triangulate with the two
+            # keyframe poses.
+            if cfg.detect_levels > 1:
+                uv_prev, score_prev, det_mask = fast.detect_grid_pyramid(
+                    prev_pyr, threshold=cfg.fast_threshold,
+                    grid=cfg.detect_grid, per_cell=per_cell,
+                    levels=cfg.detect_levels,
+                )
+            else:
+                uv_prev, score_prev, det_mask = fast.detect_grid(
+                    prev_pyr[0], threshold=cfg.fast_threshold,
+                    grid=cfg.detect_grid, per_cell=per_cell,
+                )
+            det_mask = det_mask & ~_near_existing(
+                uv_prev, m.obs_uv[prev_slot], m.obs_mask[prev_slot], 8.0
+            )
+            uv_cur, err, ok_trk = lk.track(prev_pyr, pyr, uv_prev, det_mask)
+            x1 = cam_mod.normalize(uv_prev, intr)
+            x2 = cam_mod.normalize(uv_cur, intr)
+            pts, d1, d2 = tri.triangulate(x1, x2, prev_R, prev_t, R, t)
+            e1 = tri.reprojection_error(pts, x1, prev_R, prev_t)
+            e2 = tri.reprojection_error(pts, x2, R, t)
+            good = (
+                ok_trk
+                & (d1 > 0.05)
+                & (d2 > 0.05)
+                & (e1 * cfg.fx < cfg.ransac_threshold_px)
+                & (e2 * cfg.fx < cfg.ransac_threshold_px)
+            )
+            m, slots, ok_alloc = map_state.allocate_landmarks(m, pts, good)
+            m = map_state.set_observations(m, prev_slot, slots, uv_prev, ok_alloc)
+            m = map_state.set_observations(m, slot, slots, uv_cur, ok_alloc)
+            return m
+
+        return insert
+
     def _insert_mono_keyframe(self, pyr, existing_obs):
         cfg = self.cfg
         ok_align, refined = existing_obs
         prev_slot = self.kf_order[-1]
-        prev_pyr_stack = self.map.kf_pyr
-        prev_R = self.map.kf_R[prev_slot]
-        prev_t = self.map.kf_t[prev_slot]
-        prev_pyr = tuple(lvl[prev_slot] for lvl in prev_pyr_stack)
-
-        slot = self._next_kf_slot()
-        self.map = map_state.insert_keyframe(
-            self.map, slot, self.R, self.t, self.frame_idx, pyr
-        )
+        evict = len(self.kf_order) >= cfg.max_keyframes
+        slot = self._next_kf_slot_peek()
         self.kf_order.append(slot)
-        self.map = map_state.set_observations(
-            self.map, slot, jnp.arange(cfg.max_landmarks), refined, ok_align
+        if "mono_kf" not in self._kernels:
+            self._kernels["mono_kf"] = self._build_mono_kf_kernel()
+        self.map = self._kernels["mono_kf"](
+            self.map, slot, jnp.asarray(evict), prev_slot,
+            self.R, self.t, self.frame_idx, pyr, ok_align, refined,
         )
-        # New landmarks: detect in the previous keyframe image, LK-track to
-        # the current frame, triangulate with the two keyframe poses.
-        uv_prev, score_prev, det_mask = self._detect(prev_pyr)
-        det_mask = det_mask & ~_near_existing(
-            uv_prev,
-            self.map.obs_uv[prev_slot],
-            self.map.obs_mask[prev_slot],
-            radius=8.0,
-        )
-        uv_cur, err, ok_trk = lk.track(prev_pyr, pyr, uv_prev, det_mask)
-        x1 = cam_mod.normalize(uv_prev, self.intr)
-        x2 = cam_mod.normalize(uv_cur, self.intr)
-        from viso_tpu.geometry import triangulation as tri
-
-        pts, d1, d2 = tri.triangulate(x1, x2, prev_R, prev_t, self.R, self.t)
-
-        e1 = tri.reprojection_error(pts, x1, prev_R, prev_t)
-        e2 = tri.reprojection_error(pts, x2, self.R, self.t)
-        good = (
-            ok_trk
-            & (d1 > 0.05)
-            & (d2 > 0.05)
-            & (e1 * cfg.fx < cfg.ransac_threshold_px)
-            & (e2 * cfg.fx < cfg.ransac_threshold_px)
-        )
-        self.map, slots, ok_alloc = map_state.allocate_landmarks(
-            self.map, pts, good
-        )
-        self.map = map_state.set_observations(
-            self.map, prev_slot, slots, uv_prev, ok_alloc
-        )
-        self.map = map_state.set_observations(self.map, slot, slots, uv_cur, ok_alloc)
 
 
 def _pull_poses(results):
