@@ -385,3 +385,79 @@ def test_pose_graph_bucketing_trace_stable():
     assert pose_graph._bucket(300) == pose_graph._bucket(310) == 512
     assert pose_graph._bucket(3) == 16
     assert pose_graph._bucket(513) == 1024
+
+
+def test_sim3_pose_graph_corrects_scale_drift():
+    """Monocular scale drift: odometry edges carry s=1 (scale-blind)
+    while the true per-step scale drifts 0.5%; one loop edge carries
+    the true accumulated ratio. The Sim(3) solver must recover the
+    per-node scale profile and collapse the position drift — an SE(3)
+    graph structurally cannot (no scale DoF)."""
+    from viso_tpu.backend import pose_graph_sim3 as pgs
+    from viso_tpu.geometry import se3, sim3
+
+    K = 60
+    drift = 1.005 ** np.arange(K)                      # D_k
+    thetas = np.linspace(0, 2 * np.pi, K, endpoint=False)
+    radius = 10.0
+    R_gt, t_gt = [], []
+    for th in thetas:
+        c, s = np.cos(th), np.sin(th)
+        Rwc = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        center = np.array(
+            [radius * np.sin(th), 0.0, radius * (1 - np.cos(th))], np.float32
+        )
+        R_gt.append(Rwc)
+        t_gt.append(-Rwc @ center)
+    # True LOCAL Sim3 of node k (its internal drifted metric):
+    # S_k = (D_k, R_k, D_k t_k).
+    loc = [
+        (float(drift[k]), R_gt[k], drift[k] * t_gt[k]) for k in range(K)
+    ]
+
+    def rel(a, b):
+        return sim3.compose(*a, *sim3.inverse(*b))
+
+    edges = []
+    for k in range(1, K):
+        s_r, R_r, t_r = (np.asarray(x) for x in rel(loc[k - 1], loc[k]))
+        # Odometry is scale-blind: it reports s=1.
+        edges.append((k - 1, k, 1.0, R_r, t_r, 1.0))
+    # Loop edge with the TRUE relative similarity (as a 3D-3D Umeyama
+    # fit between matched landmarks would measure it).
+    s_r, R_r, t_r = (np.asarray(x) for x in rel(loc[0], loc[K - 1]))
+    edges.append((0, K - 1, float(s_r), R_r, t_r, 10.0))
+
+    # Initial guess: integrate the (scale-blind) odometry edges.
+    pg_s, pg_R, pg_t = [1.0], [R_gt[0]], [t_gt[0]]
+    for k in range(1, K):
+        _, Rm, tm = 1.0, edges[k - 1][3], edges[k - 1][4]
+        inv = sim3.inverse(1.0, jnp.asarray(Rm), jnp.asarray(tm))
+        sk, Rk, tk = sim3.compose(
+            *inv, pg_s[-1], jnp.asarray(pg_R[-1]), jnp.asarray(pg_t[-1])
+        )
+        pg_s.append(float(sk))
+        pg_R.append(np.asarray(Rk))
+        pg_t.append(np.asarray(tk))
+
+    out, info = pgs.solve_padded(
+        pg_s, pg_R, pg_t, edges, pgs.PGParams(iters=30)
+    )
+    assert float(info["final_cost"]) < 0.05 * float(info["initial_cost"])
+    s_out = np.asarray(out.s)[:K]
+    # Recovered node scales must track the true drift profile.
+    assert abs(s_out[K - 1] - drift[K - 1]) < 0.03 * drift[K - 1], (
+        s_out[K - 1], drift[K - 1],
+    )
+    # Metric camera centers: c = -(1/s) R^T t.
+    def centers(ss, RR, tt):
+        return np.stack(
+            [-(1.0 / ss[k]) * RR[k].T @ tt[k] for k in range(K)]
+        )
+
+    c_gt = np.stack([-R_gt[k].T @ t_gt[k] for k in range(K)])
+    c_init = centers(np.asarray(pg_s), pg_R, pg_t)
+    c_out = centers(s_out, np.asarray(out.R)[:K], np.asarray(out.t)[:K])
+    err_init = np.linalg.norm(c_init - c_gt, axis=-1).max()
+    err_out = np.linalg.norm(c_out - c_gt, axis=-1).max()
+    assert err_out < 0.3 * err_init, (err_init, err_out)

@@ -250,3 +250,88 @@ def test_slam_checkpoint_resume(room, tmp_path):
     ate = metrics.ate_rmse(c_est, c_gt, align=True, with_scale=False)
     slam2.close()
     assert ate < 1.0, ate
+
+
+def test_mono_slam_closes_loop(room):
+    """Monocular SLAM (beyond the north star's stereo config 4 — the
+    REFERENCE is monocular, so this carries its pipeline to the
+    loop-closing backend it intended): the Sim(3) loop layer must close
+    orbit loops on mono odometry, OBSERVE a scale seam (a mid-run
+    re-init whose recovery scale prior is deliberately biased 1.5x),
+    and repair it — global scale alignment cannot fix a two-scale
+    trajectory, only the Sim3 graph can."""
+    from viso_tpu.geometry import camera
+    from viso_tpu.slam.mono_full import MonoSLAM
+    from viso_tpu.slam.engine import VOConfig as _VOConfig
+
+    n = 120
+    intr = camera.Intrinsics.create(**INTR)
+    Rs, ts = synthetic.orbit_trajectory(n, radius=2.0, total_angle=2.4 * np.pi)
+    frames = [room.render(intr, R, t, H, W)[0] for R, t in zip(Rs, ts)]
+    # Sensor dropout: forces a mono re-init mid-lap-1.
+    noise_rng = np.random.default_rng(3)
+    for i in range(46, 58):
+        frames[i] = noise_rng.uniform(0, 255, frames[i].shape).astype(
+            np.float32
+        )
+
+    class SeamMonoSLAM(MonoSLAM):
+        """Recovery scale prior biased 1.5x: the post-re-init segment
+        runs at the wrong scale, which is exactly the monocular failure
+        the Sim3 graph exists to correct."""
+
+        def _recent_speed(self):
+            s = super()._recent_speed()
+            return None if s is None else 1.5 * s
+
+    cfg = _VOConfig(
+        height=H, width=W, max_keyframes=6, max_landmarks=768,
+        num_features=192, detect_grid=(4, 6), fast_threshold=10.0,
+        kf_min_gap=1, kf_max_gap=3, kf_min_visible_frac=0.6,
+        min_init_tracks=25, disparity_squared_thresh=25.0, **INTR,
+    )
+    lp = LoopParams(
+        capacity=64, num_features=128, guard=8, min_matches=25,
+        min_inliers=15,
+        # The blackout seam is a legitimately LARGE correction (~1 m /
+        # well over a radian of unobserved orbit rotation): ceilings
+        # sized for drift-only operation would veto its repair.
+        max_correction_m=6.0, max_correction_rad=2.5,
+    )
+    slam = SeamMonoSLAM(cfg, lp)
+    for img in frames:
+        slam.process(img)
+    slam.join()
+    assert not slam.hook_errors, slam.hook_errors
+    assert slam.num_reinits >= 1, "dropout did not force a re-init"
+    assert len(slam.loops) >= 1, "no mono loop closed"
+    # At least one loop edge must OBSERVE the seam's scale ratio.
+    assert any(abs(np.log(lo["s_rel"])) > 0.15 for lo in slam.loops), (
+        slam.loops
+    )
+    # Recovered node scales: sane, and actually exercising the scale
+    # DoF across the seam.
+    s = np.asarray(slam.pg_s)
+    assert np.all(np.isfinite(s)) and np.all(s > 0.3) and np.all(s < 3.0)
+    assert s.max() / s.min() > 1.15, s
+
+    # The graph-corrected keyframe trajectory must repair the seam:
+    # compare against raw odometry, both globally scale-aligned.
+    pg_R, pg_t, pg_frames = slam.graph_trajectory()
+    raw_R = np.stack(slam.pg_raw_R)
+    raw_t = np.stack(slam.pg_raw_t)
+    c_gt = metrics.camera_centers(Rs[pg_frames], ts[pg_frames])
+    ate_pg = metrics.ate_rmse(
+        metrics.camera_centers(pg_R, pg_t), c_gt,
+        align=True, with_scale=True,
+    )
+    ate_raw = metrics.ate_rmse(
+        metrics.camera_centers(raw_R, raw_t), c_gt,
+        align=True, with_scale=True,
+    )
+    assert ate_pg < 0.7 * ate_raw, (ate_pg, ate_raw)
+
+    # Per-frame trajectory finite.
+    R_all, t_all = slam.trajectory()
+    slam.close()
+    assert np.all(np.isfinite(R_all)) and np.all(np.isfinite(t_all))

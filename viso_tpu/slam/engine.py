@@ -210,6 +210,48 @@ class BaseVO:
         self.map = map_state.evict_keyframe(self.map, oldest)
         return oldest
 
+    def _post_keyframe(self, slot: int, pyr) -> None:
+        """Hook invoked after a keyframe is fully integrated (inserted,
+        window-BA-refined, templates rebuilt). SLAM layers add pose-
+        graph nodes / loop detection here. Default: no-op."""
+
+    def _recent_motion(self):
+        """(speed m/frame, rot rad/frame) medians over the last HEALTHY
+        frames (num_tracked above the tracking floor). Frames of a
+        collapse hold or drag the pose, so a plain recent-window median
+        reads ~zero exactly when callers need the estimate (recovery
+        scale priors, dead-reckoning seam budgets). A few small D2H
+        pulls per call — call at recovery/re-init time, not per frame.
+        Returns (None, None) with too little history."""
+        healthy = [
+            (i, r)
+            for i, r in enumerate(self.results)
+            if r.num_tracked >= self.cfg.min_tracked_points
+        ]
+        take = healthy[-12:]
+        if len(take) < 5:
+            return None, None
+        idxs = np.array([i for i, _ in take])
+        R = np.stack([np.asarray(r.R) for _, r in take])
+        t = np.stack([np.asarray(r.t) for _, r in take])
+        c = -np.einsum("nji,nj->ni", R, t)
+        gaps = np.diff(idxs)
+        steps = np.linalg.norm(np.diff(c, axis=0), axis=-1) / gaps
+        tr = np.einsum("nii->n", np.einsum("nij,nkj->nik", R[1:], R[:-1]))
+        angs = np.arccos(np.clip((tr - 1) / 2, -1, 1)) / gaps
+        sp = float(np.median(steps))
+        rr = float(np.median(angs))
+        return (sp if sp > 1e-6 else None), (rr if rr > 1e-9 else None)
+
+    def _seam_span(self, recovery_frame: int) -> int:
+        """Frames of dead reckoning ending at `recovery_frame`: distance
+        back to the last healthy frame."""
+        upto = min(recovery_frame, len(self.results))
+        for i in range(upto - 1, -1, -1):
+            if self.results[i].num_tracked >= self.cfg.min_tracked_points:
+                return max(1, recovery_frame - i)
+        return max(1, recovery_frame)
+
     def _next_kf_slot_peek(self) -> int:
         """Pick the slot for the next keyframe; pops the oldest from
         kf_order if the window is full (eviction itself happens inside
@@ -939,9 +981,6 @@ class StereoVO(BaseVO):
         )
         return slot
 
-    def _post_keyframe(self, slot: int, pyr) -> None:
-        """Hook invoked after a keyframe is fully integrated (inserted,
-        window-BA-refined, templates rebuilt). Default: no-op."""
 
 
 class MonocularVO(BaseVO):
@@ -1011,6 +1050,7 @@ class MonocularVO(BaseVO):
                     # Updates self.R/self.t to the adjusted newest-KF pose.
                     self._run_window_ba(self.kf_order[:2])
                 self._refresh_templates(self.kf_order[-1])
+                self._post_keyframe(self.kf_order[-1], pyr)
             self.last_pyr = pyr
             self._record(
                 num_tracked=n_tracked,
@@ -1053,31 +1093,16 @@ class MonocularVO(BaseVO):
         self.prev_R, self.prev_t = self.R, self.t   # zero velocity
         self.init_ref = None
         self.num_reinits += 1
+        # SLAM layers treat the post-reinit odometry edge as dead
+        # reckoning (same contract as StereoVO's forced recovery).
+        self._last_recovery_frame = self.frame_idx
         # Seed immediately from the current frame.
         self._try_initialize(pyr)
 
     def _recent_speed(self):
         """Median per-frame camera-center speed (m/frame) over the last
-        HEALTHY frames (num_tracked above the tracking floor). Frames
-        of the collapse itself hold or drag the pose, so a fixed
-        recent-window median reads ~zero exactly when the prior is
-        needed. One small D2H pull per RE-INIT (rare), not per frame."""
-        healthy = [
-            (i, r)
-            for i, r in enumerate(self.results)
-            if r.num_tracked >= self.cfg.min_tracked_points
-        ]
-        take = healthy[-12:]
-        if len(take) < 5:
-            return None
-        idxs = np.array([i for i, _ in take])
-        R = np.stack([np.asarray(r.R) for _, r in take])
-        t = np.stack([np.asarray(r.t) for _, r in take])
-        c = -np.einsum("nji,nj->ni", R, t)
-        gaps = np.diff(idxs)
-        steps = np.linalg.norm(np.diff(c, axis=0), axis=-1) / gaps
-        s = float(np.median(steps))
-        return s if s > 1e-6 else None
+        healthy frames (see BaseVO._recent_motion)."""
+        return self._recent_motion()[0]
 
     # -- initialization (reference viso.cpp:13-111) --------------------
     def _try_initialize(self, pyr):
@@ -1149,6 +1174,7 @@ class MonocularVO(BaseVO):
         self.last_kf_frame = self.frame_idx
         self._refresh_templates(slot1)
         self.state = "tracking"
+        self._post_keyframe(slot1, pyr)
 
     # -- keyframe insertion with new-landmark triangulation ------------
     def _build_mono_kf_kernel(self):

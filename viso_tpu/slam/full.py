@@ -54,6 +54,29 @@ def _rel_np(Ra, ta, Rb, tb):
     return R, t
 
 
+def make_digest_kernel(num_features: int):
+    """One jitted launch per keyframe: pick the loop layer's keypoint
+    set (observed landmarks first, ascending slot order — identical to
+    the r3 host-side np.nonzero selection) and compute its steered
+    BRIEF descriptors from the keyframe image. Shared by the stereo
+    and monocular SLAM layers."""
+    from viso_tpu.ops import descriptors
+
+    NF = num_features
+
+    @jax.jit
+    def digest(m, slot, img0):
+        obs = m.obs_mask[slot]
+        order = jnp.argsort(-obs.astype(jnp.int32))[:NF]
+        kp_mask = obs[order]
+        kps = m.obs_uv[slot][order]
+        pts = m.points[order]
+        desc = descriptors.compute(img0, kps, kp_mask)
+        return kps, kp_mask, desc, pts
+
+    return digest
+
+
 class StereoSLAM(StereoVO):
     def __init__(self, config: VOConfig, loop_params: LoopParams | None = None):
         super().__init__(config)
@@ -78,6 +101,12 @@ class StereoSLAM(StereoVO):
         # advanced per keyframe — the drift-scaled loop gate's clock.
         self._path_len = 0.0
         self._rot_len = 0.0
+        # Dead-reckoning seam allowances (m / rad): accumulated when a
+        # forced recovery / re-init marks a stretch of unobserved
+        # motion; the loop gate budgets them at full magnitude.
+        self._seam_trans = 0.0
+        self._seam_rot = 0.0
+        self._seam_recovery_seen = -(10**9)
         # Background worker: the hook never touches live VO state, so
         # it runs fully async off the dispatch thread. Node ids are
         # assigned at ENQUEUE time (single worker => enqueue order ==
@@ -170,6 +199,22 @@ class StereoSLAM(StereoVO):
         frame_idx = self.frame_idx
         tracked = getattr(self, "_n_tracked_cache", self.cfg.num_features)
         recovery = getattr(self, "_last_recovery_frame", -(10**9))
+        if recovery > self._seam_recovery_seen:
+            # New dead-reckoning seam: budget its unobserved motion as
+            # recent-speed x span (2x margin; generous fallbacks when
+            # no healthy history exists to estimate from).
+            self._seam_recovery_seen = recovery
+            sp, rr = self._recent_motion()
+            # The walk-back under-counts the blackout: per-frame
+            # num_tracked comes from the async stats CACHE, which holds
+            # stale healthy values for the first frames of a collapse.
+            # Floor the span at the detection latency of a loss.
+            span = max(
+                self._seam_span(recovery),
+                self.cfg.lost_reinit_after + 2 * self.cfg.kf_min_gap + 4,
+            )
+            self._seam_trans += 2.0 * (sp if sp else 0.3) * span
+            self._seam_rot += 2.0 * (rr if rr else 0.1) * span
         if "loop_digest" not in self._kernels:
             self._kernels["loop_digest"] = self._build_digest_kernel()
         kps, kp_mask, desc, pts = self._kernels["loop_digest"](
@@ -185,31 +230,15 @@ class StereoSLAM(StereoVO):
         self._hook_last = self._hook_pool.submit(
             self._hook_task, node_id, kps, kp_mask, desc, pts,
             R_dev, t_dev, frame_idx, tracked, recovery,
+            self._seam_trans, self._seam_rot,
         )
 
     def _build_digest_kernel(self):
-        """One jitted launch per keyframe: pick the loop layer's
-        keypoint set (observed landmarks first, ascending slot order —
-        identical to the r3 host-side np.nonzero selection) and compute
-        its steered BRIEF descriptors from the keyframe image."""
-        from viso_tpu.ops import descriptors
-
-        NF = self.loop_params.num_features
-
-        @jax.jit
-        def digest(m, slot, img0):
-            obs = m.obs_mask[slot]
-            order = jnp.argsort(-obs.astype(jnp.int32))[:NF]
-            kp_mask = obs[order]
-            kps = m.obs_uv[slot][order]
-            pts = m.points[order]
-            desc = descriptors.compute(img0, kps, kp_mask)
-            return kps, kp_mask, desc, pts
-
-        return digest
+        return make_digest_kernel(self.loop_params.num_features)
 
     def _hook_task(self, node_id, kps, kp_mask, desc, pts, R_dev, t_dev,
-                   frame_idx, tracked, recovery_frame):
+                   frame_idx, tracked, recovery_frame,
+                   seam_t=0.0, seam_r=0.0):
         """Worker-side keyframe hook. Failures degrade gracefully: a
         placeholder node keeps ids dense so later hooks and trajectory()
         stay consistent (one transient device error must not poison
@@ -217,7 +246,7 @@ class StereoSLAM(StereoVO):
         try:
             self._hook_task_impl(
                 node_id, kps, kp_mask, desc, pts, R_dev, t_dev,
-                frame_idx, tracked, recovery_frame,
+                frame_idx, tracked, recovery_frame, seam_t, seam_r,
             )
         except Exception as e:  # noqa: BLE001 — record, don't poison
             import sys
@@ -244,7 +273,8 @@ class StereoSLAM(StereoVO):
                 self.pg_frame.append(frame_idx)
 
     def _hook_task_impl(self, node_id, kps, kp_mask, desc, pts,
-                        R_dev, t_dev, frame_idx, tracked, recovery_frame):
+                        R_dev, t_dev, frame_idx, tracked, recovery_frame,
+                        seam_t=0.0, seam_r=0.0):
         p = self.loop_params
         R_np = np.asarray(R_dev)
         t_np = np.asarray(t_dev)
@@ -302,6 +332,7 @@ class StereoSLAM(StereoVO):
             None, kps, kp_mask, pts, kp_mask, R_np, t_np, frame_idx,
             node_id=node_id, desc=desc,
             path_len=self._path_len, rot_len=self._rot_len,
+            seam_t=seam_t, seam_r=seam_r,
         )
 
         # Loop detection for this keyframe — only from a healthy state:
@@ -316,6 +347,7 @@ class StereoSLAM(StereoVO):
         cand = self.loop_db.detect_fused(
             desc, kps, kp_mask, R_np, t_np, self.intr,
             path_len=self._path_len, rot_len=self._rot_len,
+            seam_t=seam_t, seam_r=seam_r,
         )
         if cand is not None:
             # cand.R_rel is T_cur o T_cand^-1; the (cand -> cur) edge

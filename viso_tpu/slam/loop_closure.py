@@ -67,6 +67,13 @@ class LoopParams:
     rot_drift_rate: float = 0.05       # rad per rad integrated rotation
     max_correction_m: float = 10.0
     max_correction_rad: float = 1.2
+    # A loop whose interval CROSSES a dead-reckoning seam relaxes to
+    # the hard ceilings when its PnP evidence is at least this multiple
+    # of min_inliers: the seam's error is unobserved and can exceed any
+    # rate-based budget (a reinit's re-convergence error is not bounded
+    # by the blackout span), so for these loops geometric evidence is
+    # the only usable signal. 0 disables.
+    seam_evidence_factor: float = 1.5
     # Overwhelming measurement evidence (inliers >= this multiple of
     # min_inliers) overrides the scaled bound up to the hard ceilings.
     # DISABLED by default (0): measured on the orbit benchmark,
@@ -99,6 +106,9 @@ class LoopCandidate(NamedTuple):
     inliers: int
     R_rel: np.ndarray   # measured T_cur * T_cand^-1
     t_rel: np.ndarray
+    # Monocular: measured relative SCALE between the candidate's and the
+    # current segment's local metrics (Sim3 edge; 1.0 for stereo).
+    s_rel: float = 1.0
 
 
 class LoopDatabase:
@@ -146,6 +156,13 @@ class LoopDatabase:
         # radians) at insertion time — the drift-scaled gate's clock.
         self.path_len = np.zeros(p.capacity, np.float32)
         self.rot_len = np.zeros(p.capacity, np.float32)
+        # Dead-reckoning seam allowances (meters / radians) at insertion
+        # time: unobserved motion during tracking blackouts is REAL
+        # drift the plausibility gate must budget for at full magnitude
+        # (the drift-RATE budget only opens ~5% of it, which rejected
+        # every loop closing across a recovery seam).
+        self.seam_t = np.zeros(p.capacity, np.float32)
+        self.seam_r = np.zeros(p.capacity, np.float32)
         # Optional gate diagnostics: set to a list to record every
         # candidate's gate inputs and decision (tools/diag_loops.py).
         self.debug: Optional[list] = None
@@ -162,7 +179,8 @@ class LoopDatabase:
         return min(self.total, self.params.capacity)
 
     def add(self, img_smooth, kps, kp_mask, points_w, points_ok, R, t,
-            frame_id, node_id=-1, path_len=0.0, rot_len=0.0, desc=None):
+            frame_id, node_id=-1, path_len=0.0, rot_len=0.0, desc=None,
+            seam_t=0.0, seam_r=0.0):
         """Store a keyframe: descriptors at `kps`, its pose, the 3-D
         landmarks associated with those keypoints (points_ok marks
         which), the caller's external `node_id`, and the odometry
@@ -197,6 +215,8 @@ class LoopDatabase:
         self.node_id[i] = node_id if node_id >= 0 else self.total
         self.path_len[i] = path_len
         self.rot_len[i] = rot_len
+        self.seam_t[i] = seam_t
+        self.seam_r[i] = seam_r
         self.insert_seq[i] = self.total
         self.total += 1
         return i
@@ -250,8 +270,65 @@ class LoopDatabase:
             path_len=path_len, rot_len=rot_len,
         )
 
+    def detect_fused_sim3(self, desc_q, kps, kp_mask, pts_q, pts_q_ok,
+                          R_cur, t_cur, intr, path_len=None,
+                          rot_len=None, seam_t=None,
+                          seam_r=None) -> Optional[LoopCandidate]:
+        """Monocular loop detection: like detect_fused, plus a masked-
+        Umeyama relative Sim(3) fit over the PnP inliers so the edge
+        carries the scale ratio between the candidate's and the current
+        segment's local metrics (mono scale drift is exactly what the
+        Sim3 pose graph redistributes). One jitted launch, one D2H."""
+        p = self.params
+        eligible = (self.insert_seq >= 0) & (
+            self.insert_seq <= self.total - 1 - p.guard
+        )
+        if not eligible.any():
+            return None
+        self.key, sub = jax.random.split(self.key)
+        thresh = (p.pnp_threshold_px / float(intr.fx)) ** 2
+        packed = np.asarray(
+            _detect_fused_sim3_kernel(
+                desc_q, kp_mask, kps, pts_q, pts_q_ok,
+                jnp.asarray(R_cur), jnp.asarray(t_cur),
+                self.desc, self.desc_mask,
+                self.points_w_dev, self.points_ok_dev,
+                jnp.asarray(eligible), intr,
+                jnp.asarray(thresh, jnp.float32),
+                jnp.asarray(p.min_matches, jnp.int32),
+                jnp.asarray(p.min_inliers, jnp.int32),
+                sub,
+            )
+        )
+        s_g = float(packed[16])
+        R_g = packed[17:26].reshape(3, 3).astype(np.float32)
+        t_g = packed[26:29].astype(np.float32)
+        cand = self._gate_packed(
+            packed, R_cur, t_cur, path_len, rot_len, seam_t, seam_r
+        )
+        if cand is None:
+            return None
+        # Scale plausibility: a similarity fit implying more than
+        # max_scale_log of log-scale disagreement marks a degenerate
+        # geometry (near-planar inlier set), not believable drift.
+        if abs(np.log(max(s_g, 1e-6))) > 0.7:
+            if _DEBUG_ENV:
+                import sys
+
+                print(
+                    f"[loop-stage] implausible scale ratio {s_g:.3f}",
+                    file=sys.stderr,
+                )
+            return None
+        # The Umeyama G IS the graph edge measurement S_i o S_j^-1
+        # (cam_j-local -> cam_i-local coordinate change).
+        return cand._replace(
+            s_rel=s_g, R_rel=R_g, t_rel=t_g
+        )
+
     def detect_fused(self, desc_q, kps, kp_mask, R_cur, t_cur, intr,
-                     path_len=None, rot_len=None) -> Optional[LoopCandidate]:
+                     path_len=None, rot_len=None, seam_t=None,
+                     seam_r=None) -> Optional[LoopCandidate]:
         """Loop detection with precomputed query descriptors.
 
         The whole device side — capacity-wide match scoring, best-
@@ -283,6 +360,17 @@ class LoopDatabase:
                 sub,
             )
         )
+        return self._gate_packed(
+            packed, R_cur, t_cur, path_len, rot_len, seam_t, seam_r
+        )
+
+
+    def _gate_packed(self, packed, R_cur, t_cur, path_len, rot_len,
+                     seam_t=None, seam_r=None):
+        """Shared host-side gating of a packed detect-kernel result:
+        match/inlier thresholds, then the drift-scaled plausibility
+        bound on the implied correction."""
+        p = self.params
         best_matches = int(packed[0])
         best = int(packed[1])
         n_3d = int(packed[2])
@@ -359,9 +447,34 @@ class LoopDatabase:
             bound_rad = min(
                 bound_rad, p.base_correction_rad + p.rot_drift_rate * drot_i
             )
+        # Dead-reckoning seams since the candidate was stored enter the
+        # budget at FULL magnitude (capped by the hard ceilings below):
+        # the motion during a blackout is entirely unobserved, so the
+        # whole allowance is legitimate disagreement for a true loop.
+        if seam_t is not None:
+            bound_m = min(
+                p.max_correction_m,
+                bound_m + max(0.0, float(seam_t) - float(self.seam_t[best])),
+            )
+        if seam_r is not None:
+            bound_rad = min(
+                p.max_correction_rad,
+                bound_rad
+                + max(0.0, float(seam_r) - float(self.seam_r[best])),
+            )
         # Overwhelming evidence: geometry this strong overrides the
         # scaled bound (but never the hard ceiling). Off by default.
         if p.evidence_override > 0 and n_inl >= p.evidence_override * p.min_inliers:
+            bound_m = p.max_correction_m
+            bound_rad = p.max_correction_rad
+        # Seam-crossing loops: trust strong geometric evidence up to
+        # the hard ceilings (see LoopParams.seam_evidence_factor).
+        if (
+            p.seam_evidence_factor > 0
+            and seam_t is not None
+            and float(seam_t) - float(self.seam_t[best]) > 1e-6
+            and n_inl >= p.seam_evidence_factor * p.min_inliers
+        ):
             bound_m = p.max_correction_m
             bound_rad = p.max_correction_rad
         accept = d_trans <= bound_m and d_rot <= bound_rad
@@ -399,6 +512,69 @@ def _match_counts(desc_q, mask_q, desc_db, mask_db):
         return jnp.sum(ok)
 
     return jax.vmap(one)(desc_db, mask_db)
+
+
+@jax.jit
+def _detect_fused_sim3_kernel(
+    desc_q, mask_q, kps_q, pts_q, pts_q_ok, R_cur, t_cur,
+    desc_db, mask_db, pts_db, pts_ok_db,
+    eligible, intr, thresh, min_matches, min_inliers, key,
+):
+    """Monocular variant of _detect_fused_kernel: additionally fits the
+    relative Sim(3) between the candidate's and the current segment's
+    local metrics, via a masked Umeyama over the PnP inliers' CAMERA-
+    frame coordinates (candidate landmarks through the PnP pose vs the
+    current keyframe's own landmarks through its odometry pose — the
+    same physical points in the same camera, expressed in two scales).
+    Packed: [matches, slot, n3d, inliers, R_pnp(9), t_pnp(3),
+             s_g, R_g(9), t_g(3)] (29 floats, one D2H)."""
+    from viso_tpu.geometry import sim3
+
+    counts = _match_counts(desc_q, mask_q, desc_db, mask_db)
+    counts = jnp.where(eligible, counts, -1)
+    best = jnp.argmax(counts)
+    idx2, _, ok = descriptors.match(
+        desc_q, mask_q, desc_db[best], mask_db[best]
+    )
+    ok = ok & pts_ok_db[best][idx2]
+    n_3d = jnp.sum(ok)
+    pts3d = pts_db[best][idx2]
+    x = cam_mod.normalize(kps_q, intr)
+    is_cand = (counts[best] >= min_matches) & (n_3d >= min_inliers)
+
+    def run_pnp(_):
+        res = pnp.pnp_ransac(key, pts3d, x, ok, threshold=thresh)
+        p_i = se3.transform(res.R, res.t, pts3d)
+        p_j = se3.transform(R_cur, t_cur, pts_q)
+        m = res.inliers & ok & pts_q_ok
+        s_g, R_g, t_g = sim3.umeyama_masked(p_j, p_i, m)
+        return res, s_g, R_g, t_g
+
+    def skip_pnp(_):
+        return (
+            pnp.PnPResult(
+                jnp.eye(3, dtype=jnp.float32),
+                jnp.zeros(3, jnp.float32),
+                jnp.zeros_like(ok),
+                jnp.asarray(0, jnp.int32),
+            ),
+            jnp.asarray(1.0, jnp.float32),
+            jnp.eye(3, dtype=jnp.float32),
+            jnp.zeros(3, jnp.float32),
+        )
+
+    res, s_g, R_g, t_g = jax.lax.cond(is_cand, run_pnp, skip_pnp, None)
+    head = jnp.stack(
+        [
+            counts[best].astype(jnp.float32),
+            best.astype(jnp.float32),
+            n_3d.astype(jnp.float32),
+            res.num_inliers.astype(jnp.float32),
+        ]
+    )
+    return jnp.concatenate(
+        [head, res.R.reshape(-1), res.t, s_g[None], R_g.reshape(-1), t_g]
+    )
 
 
 @jax.jit

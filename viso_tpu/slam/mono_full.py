@@ -1,0 +1,367 @@
+"""Monocular SLAM: mono VO + loop closure + Sim(3) pose-graph correction.
+
+The reference IS a monocular system (/root/reference/src/viso.cpp:7-145)
+whose backend never ran; this carries its pipeline to the loop-closing
+backend it needed. Same loosely-coupled architecture as the stereo layer
+(slam/full.py — the VO front-end is never touched; the graph is a
+parallel global estimation layer on a background worker), with two
+mono-specific changes:
+
+  * Nodes are Sim(3): monocular scale drifts (and JUMPS at re-inits,
+    bounded by the engine's speed prior), and an SE(3) graph cannot
+    express — let alone correct — that. Odometry edges enter with
+    s_ij = 1 (scale-blind); loop edges carry the relative scale from a
+    masked-Umeyama fit over the PnP inliers (loop_closure.
+    detect_fused_sim3), and backend/pose_graph_sim3 redistributes
+    log-scale along the loop.
+  * trajectory() converts each solved node similarity back to a metric
+    SE(3) pose (t / s) before re-anchoring the frames.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from viso_tpu.backend import pose_graph_sim3 as pgs
+from viso_tpu.slam.engine import MonocularVO, VOConfig
+from viso_tpu.slam.full import _rel_np, make_digest_kernel
+from viso_tpu.slam.loop_closure import LoopDatabase, LoopParams
+
+import jax.numpy as jnp
+
+
+class MonoSLAM(MonocularVO):
+    def __init__(self, config: VOConfig, loop_params: LoopParams | None = None):
+        super().__init__(config)
+        self.loop_params = loop_params or LoopParams()
+        self.loop_db = LoopDatabase(self.loop_params, seed=config.seed + 1)
+        # Raw odometry poses at node creation (immutable measurement
+        # frame) and the current best Sim3 estimates (solver init and
+        # output). Odometry knows no scale: raw s is always 1; solved
+        # s_k estimates node k's local-metric scale.
+        self.pg_raw_R: list[np.ndarray] = []
+        self.pg_raw_t: list[np.ndarray] = []
+        self.pg_s: list[float] = []
+        self.pg_R: list[np.ndarray] = []
+        self.pg_t: list[np.ndarray] = []
+        self.pg_frame: list[int] = []
+        self.pg_edges: list[tuple] = []   # (i, j, s_ij, R_ij, t_ij, w)
+        self.loops: list[dict] = []
+        self._anchors: list[int] = []
+        self._path_len = 0.0
+        self._rot_len = 0.0
+        # Dead-reckoning seam allowances (m / rad): accumulated when a
+        # forced recovery / re-init marks a stretch of unobserved
+        # motion; the loop gate budgets them at full magnitude.
+        self._seam_trans = 0.0
+        self._seam_rot = 0.0
+        self._seam_recovery_seen = -(10**9)
+        import concurrent.futures
+
+        self._hook_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="viso-mono-loop"
+        )
+        self._hook_last = None
+        self._next_node = 0
+        self._pending_loop_edges: list[int] = []
+        self._pending_loops: list[int] = []
+        self._last_event_node = -(10**9)
+        self._pg_dirty = False
+        self.hook_errors: list[Exception] = []
+
+    def join(self):
+        if self._hook_last is not None:
+            self._hook_last.result()
+        if self._pg_dirty:
+            self._pg_dirty = False
+            self._optimize_pose_graph()
+
+    def close(self):
+        super().close()
+        pool = getattr(self, "_hook_pool", None)
+        if pool is not None:
+            self._hook_pool = None
+            pool.shutdown(wait=True)
+
+    # -- node-anchored trajectory --------------------------------------
+    def _record(self, **kw):
+        super()._record(**kw)
+        self._anchors.append(self._next_node - 1)
+
+    def trajectory(self):
+        """Per-frame metric poses with Sim(3) pose-graph corrections.
+
+        Node k's solved similarity S_k = (s_k, R_k, t_k) maps graph
+        world -> cam in node k's LOCAL metric; its metric SE(3) pose is
+        (R_k, t_k / s_k). Each frame's relative-to-node transform (raw
+        odometry, node-local metric) has its translation divided by s_k
+        too before re-anchoring.
+        """
+        self.join()
+        from viso_tpu.slam.engine import _pull_poses
+
+        R, t = _pull_poses(self.results)
+        anchors = np.asarray(self._anchors[: len(R)])
+        sel = anchors >= 0
+        if sel.any():
+            a = anchors[sel]
+            raw_R = np.stack(self.pg_raw_R)[a]
+            raw_t = np.stack(self.pg_raw_t)[a]
+            s = np.asarray(self.pg_s)[a]
+            sol_R = np.stack(self.pg_R)[a]
+            sol_t = np.stack(self.pg_t)[a] / s[:, None]   # metric pose
+            R_rel = np.einsum("nij,nkj->nik", R[sel], raw_R)
+            t_rel = (
+                t[sel] - np.einsum("nij,nj->ni", R_rel, raw_t)
+            ) / s[:, None]
+            R[sel] = np.einsum("nij,njk->nik", R_rel, sol_R)
+            t[sel] = np.einsum("nij,nj->ni", R_rel, sol_t) + t_rel
+        return R, t
+
+    # -- keyframe hook (dispatch side) ---------------------------------
+    def _post_keyframe(self, slot, pyr):
+        node_id = self._next_node
+        self._next_node = node_id + 1
+        R_dev, t_dev = self.R, self.t
+        frame_idx = self.frame_idx
+        tracked = getattr(self, "_n_tracked_cache", self.cfg.num_features)
+        recovery = getattr(self, "_last_recovery_frame", -(10**9))
+        if recovery > self._seam_recovery_seen:
+            # New dead-reckoning seam: budget its unobserved motion as
+            # recent-speed x span (2x margin; generous fallbacks when
+            # no healthy history exists to estimate from).
+            self._seam_recovery_seen = recovery
+            sp, rr = self._recent_motion()
+            # The walk-back under-counts the blackout: per-frame
+            # num_tracked comes from the async stats CACHE, which holds
+            # stale healthy values for the first frames of a collapse.
+            # Floor the span at the detection latency of a loss.
+            span = max(
+                self._seam_span(recovery),
+                self.cfg.lost_reinit_after + 2 * self.cfg.kf_min_gap + 4,
+            )
+            self._seam_trans += 2.0 * (sp if sp else 0.3) * span
+            self._seam_rot += 2.0 * (rr if rr else 0.1) * span
+        if "loop_digest" not in self._kernels:
+            self._kernels["loop_digest"] = make_digest_kernel(
+                self.loop_params.num_features
+            )
+        kps, kp_mask, desc, pts = self._kernels["loop_digest"](
+            self.map, slot, pyr[0]
+        )
+        for a in (R_dev, t_dev, kps, kp_mask, pts):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        self._hook_last = self._hook_pool.submit(
+            self._hook_task, node_id, kps, kp_mask, desc, pts,
+            R_dev, t_dev, frame_idx, tracked, recovery,
+            self._seam_trans, self._seam_rot,
+        )
+
+    # -- worker side ---------------------------------------------------
+    def _hook_task(self, node_id, kps, kp_mask, desc, pts, R_dev, t_dev,
+                   frame_idx, tracked, recovery_frame,
+                   seam_t=0.0, seam_r=0.0):
+        try:
+            self._hook_task_impl(
+                node_id, kps, kp_mask, desc, pts, R_dev, t_dev,
+                frame_idx, tracked, recovery_frame, seam_t, seam_r,
+            )
+        except Exception as e:  # noqa: BLE001 — record, don't poison
+            import sys
+
+            self.hook_errors.append(e)
+            print(
+                f"[viso-mono-loop] keyframe hook failed (node {node_id}):"
+                f" {type(e).__name__}: {e}", file=sys.stderr,
+            )
+            try:
+                R_np, t_np = np.asarray(R_dev), np.asarray(t_dev)
+            except Exception:
+                if self.pg_raw_R:
+                    R_np = self.pg_raw_R[-1].copy()
+                    t_np = self.pg_raw_t[-1].copy()
+                else:
+                    R_np = np.eye(3, dtype=np.float32)
+                    t_np = np.zeros(3, np.float32)
+            while len(self.pg_raw_R) <= node_id:
+                self.pg_raw_R.append(R_np.copy())
+                self.pg_raw_t.append(t_np.copy())
+                self.pg_s.append(1.0)
+                self.pg_R.append(R_np.copy())
+                self.pg_t.append(t_np.copy())
+                self.pg_frame.append(frame_idx)
+
+    def _hook_task_impl(self, node_id, kps, kp_mask, desc, pts,
+                        R_dev, t_dev, frame_idx, tracked, recovery_frame,
+                        seam_t=0.0, seam_r=0.0):
+        R_np = np.asarray(R_dev)
+        t_np = np.asarray(t_dev)
+        assert node_id == len(self.pg_raw_R)
+        self.pg_raw_R.append(R_np.copy())
+        self.pg_raw_t.append(t_np.copy())
+        self.pg_frame.append(frame_idx)
+        if node_id > 0:
+            R_rel, t_rel = _rel_np(
+                self.pg_raw_R[node_id - 1], self.pg_raw_t[node_id - 1],
+                R_np, t_np,
+            )
+            # Odometry edge: scale-blind (s_ij = 1); a re-init seam is
+            # dead reckoning, weighted down like stereo recovery edges.
+            prev_f = self.pg_frame[node_id - 1]
+            recovered = recovery_frame >= prev_f
+            w_seq = 0.1 if recovered else 1.0
+            self.pg_edges.append(
+                (node_id - 1, node_id, 1.0, R_rel, t_rel, w_seq)
+            )
+            # Estimate for the new node: raw forward increment on top
+            # of the previous SOLVED similarity (scale rides along).
+            from viso_tpu.geometry import sim3 as sim3_mod
+
+            R_fwd, t_fwd = _rel_np(
+                R_np, t_np,
+                self.pg_raw_R[node_id - 1], self.pg_raw_t[node_id - 1],
+            )
+            s_e, R_e, t_e = sim3_mod.compose(
+                1.0, jnp.asarray(R_fwd), jnp.asarray(t_fwd),
+                self.pg_s[node_id - 1],
+                jnp.asarray(self.pg_R[node_id - 1]),
+                jnp.asarray(self.pg_t[node_id - 1]),
+            )
+            self.pg_s.append(float(s_e))
+            self.pg_R.append(np.asarray(R_e))
+            self.pg_t.append(np.asarray(t_e))
+            c_prev = (
+                -self.pg_raw_R[node_id - 1].T @ self.pg_raw_t[node_id - 1]
+            )
+            c_cur = -R_np.T @ t_np
+            self._path_len += float(np.linalg.norm(c_cur - c_prev))
+            self._rot_len += float(
+                np.arccos(np.clip((np.trace(R_rel) - 1) / 2, -1, 1))
+            )
+        else:
+            self.pg_s.append(1.0)
+            self.pg_R.append(R_np.copy())
+            self.pg_t.append(t_np.copy())
+
+        self.loop_db.add(
+            None, kps, kp_mask, pts, kp_mask, R_np, t_np, frame_idx,
+            node_id=node_id, desc=desc,
+            path_len=self._path_len, rot_len=self._rot_len,
+            seam_t=seam_t, seam_r=seam_r,
+        )
+
+        recent_recovery = (
+            frame_idx - recovery_frame <= 2 * self.cfg.kf_min_gap
+        )
+        if recent_recovery or tracked < self.cfg.min_tracked_points:
+            return
+        cand = self.loop_db.detect_fused_sim3(
+            desc, kps, kp_mask, pts, kp_mask, R_np, t_np, self.intr,
+            path_len=self._path_len, rot_len=self._rot_len,
+            seam_t=seam_t, seam_r=seam_r,
+        )
+        if cand is not None:
+            # cand carries the Umeyama similarity G = S_cand o S_cur^-1
+            # (cam_cur-local -> cam_cand-local) directly — the graph
+            # edge measurement for (i=cand, j=cur).
+            w_loop = min(
+                float(cand.inliers) / self.loop_params.min_inliers, 3.0
+            )
+            self._pending_loop_edges.append(len(self.pg_edges))
+            self._pending_loops.append(len(self.loops))
+            self.pg_edges.append(
+                (cand.db_index, node_id, cand.s_rel,
+                 cand.R_rel, cand.t_rel, w_loop)
+            )
+            self.loops.append(
+                {"from": node_id, "to": cand.db_index,
+                 "frame": frame_idx, "inliers": cand.inliers,
+                 "s_rel": cand.s_rel}
+            )
+            self._pg_dirty = True
+            if node_id - self._last_event_node >= self.loop_params.min_event_gap_kf:
+                self._event_node_prev = self._last_event_node
+                self._last_event_node = node_id
+                self._pg_dirty = False
+                self._optimize_pose_graph()
+
+    def _optimize_pose_graph(self):
+        K = len(self.pg_R)
+        if K < 3 or not self.pg_edges:
+            return
+        out, info = pgs.solve_padded(
+            self.pg_s, self.pg_R, self.pg_t, self.pg_edges,
+            pgs.PGParams(iters=25),
+        )
+        s_new = np.asarray(out.s)[:K]
+        R_new = np.asarray(out.R)[:K]
+        t_new = np.asarray(out.t)[:K]
+
+        # Solve-health gate: metric camera-center jump of the newest
+        # node vs its init, plus a sanity bound on recovered scales.
+        c_old = (
+            -(1.0 / self.pg_s[K - 1]) * self.pg_R[K - 1].T @ self.pg_t[K - 1]
+        )
+        c_new = -(1.0 / s_new[K - 1]) * R_new[K - 1].T @ t_new[K - 1]
+        jump = float(np.linalg.norm(c_new - c_old))
+        ang = float(
+            np.arccos(
+                np.clip(
+                    (np.trace(R_new[K - 1] @ self.pg_R[K - 1].T) - 1) / 2,
+                    -1, 1,
+                )
+            )
+        )
+        lp = self.loop_params
+        scales_ok = bool(
+            np.all(np.isfinite(s_new))
+            and np.all(s_new > 0.2) and np.all(s_new < 5.0)
+        )
+        if (
+            jump > lp.max_correction_m
+            or ang > lp.max_correction_rad
+            or not scales_ok
+        ):
+            for k in reversed(self._pending_loop_edges):
+                del self.pg_edges[k]
+            for k in reversed(self._pending_loops):
+                del self.loops[k]
+            self._pending_loop_edges.clear()
+            self._pending_loops.clear()
+            self._last_event_node = getattr(
+                self, "_event_node_prev", -(10**9)
+            )
+            if os.environ.get("VISO_LOOP_DEBUG") == "1":
+                import sys
+
+                print(
+                    f"[sim3-graph] REJECTED: jump={jump:.2f} ang={ang:.3f}"
+                    f" scales_ok={scales_ok}", file=sys.stderr,
+                )
+            return
+        if os.environ.get("VISO_LOOP_DEBUG") == "1":
+            import sys
+
+            print(
+                f"[sim3-graph] K={K} E={len(self.pg_edges)} cost "
+                f"{float(info['initial_cost']):.4f} -> "
+                f"{float(info['final_cost']):.4f} "
+                f"s[{K-1}]={s_new[K-1]:.3f}", file=sys.stderr,
+            )
+        self.pg_s = [float(s_new[k]) for k in range(K)]
+        self.pg_R = [R_new[k].copy() for k in range(K)]
+        self.pg_t = [t_new[k].copy() for k in range(K)]
+        self._pending_loop_edges.clear()
+        self._pending_loops.clear()
+
+    def graph_trajectory(self):
+        """Keyframe METRIC trajectory after Sim(3) corrections."""
+        s = np.asarray(self.pg_s)
+        R = np.stack(self.pg_R)
+        t = np.stack(self.pg_t) / s[:, None]
+        return R, t, list(self.pg_frame)
