@@ -335,3 +335,56 @@ def test_mono_slam_closes_loop(room):
     R_all, t_all = slam.trajectory()
     slam.close()
     assert np.all(np.isfinite(R_all)) and np.all(np.isfinite(t_all))
+
+
+def test_mono_slam_checkpoint_roundtrip(room, tmp_path):
+    """save_slam/load_slam must roundtrip the MonoSLAM state (Sim3
+    graph: node scales + edge scale ratios) and the resumed engine must
+    keep tracking."""
+    from viso_tpu.geometry import camera
+    from viso_tpu.slam.mono_full import MonoSLAM
+    from viso_tpu.slam.engine import VOConfig as _VOConfig
+    from viso_tpu.utils import checkpoint
+
+    n = 70
+    intr = camera.Intrinsics.create(**INTR)
+    Rs, ts = synthetic.orbit_trajectory(n, radius=2.0, total_angle=1.5 * np.pi)
+    frames = [room.render(intr, R, t, H, W)[0] for R, t in zip(Rs, ts)]
+    cfg = _VOConfig(
+        height=H, width=W, max_keyframes=6, max_landmarks=768,
+        num_features=192, detect_grid=(4, 6), fast_threshold=10.0,
+        kf_min_gap=1, kf_max_gap=3, kf_min_visible_frac=0.6,
+        min_init_tracks=25, disparity_squared_thresh=25.0, **INTR,
+    )
+    lp = LoopParams(
+        capacity=64, num_features=128, guard=8, min_matches=25,
+        min_inliers=15,
+    )
+    cut = 45
+    slam = MonoSLAM(cfg, lp)
+    for img in frames[:cut]:
+        slam.process(img)
+    path = str(tmp_path / "mono_slam.npz")
+    checkpoint.save_slam(path, slam, extra={"frame": cut - 1})
+    nodes = len(slam.pg_raw_R)
+    edges = list(slam.pg_edges)
+    scales = list(slam.pg_s)
+    slam.close()
+
+    slam2, extra = checkpoint.load_slam(path, cfg, lp)
+    assert isinstance(slam2, MonoSLAM)
+    assert extra["frame"] == cut - 1
+    assert len(slam2.pg_raw_R) == nodes
+    assert len(slam2.pg_edges) == len(edges)
+    assert np.allclose(slam2.pg_s, scales)
+    for e_old, e_new in zip(edges, slam2.pg_edges):
+        assert e_old[0] == e_new[0] and e_old[1] == e_new[1]
+        assert abs(e_old[2] - e_new[2]) < 1e-6   # s_ij roundtrips
+    for img in frames[cut:]:
+        slam2.process(img)
+    slam2.join()
+    assert not slam2.hook_errors, slam2.hook_errors
+    R_all, t_all = slam2.trajectory()
+    assert len(R_all) == n - cut
+    assert np.all(np.isfinite(R_all)) and np.all(np.isfinite(t_all))
+    slam2.close()

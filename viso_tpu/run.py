@@ -53,6 +53,23 @@ def build_engine(seq, args):
         return MonocularVO(cfg)
     if args.mode == "stereo":
         return StereoVO(cfg)
+    if args.mode == "mono-slam":
+        from viso_tpu.slam.loop_closure import LoopParams
+        from viso_tpu.slam.mono_full import MonoSLAM
+
+        lp = LoopParams()
+        lp = dataclasses.replace(
+            lp,
+            min_inliers=args.loop_min_inliers or lp.min_inliers,
+            min_matches=args.loop_min_matches or lp.min_matches,
+            guard=args.loop_guard or lp.guard,
+            max_correction_m=args.loop_max_correction_m
+            or lp.max_correction_m,
+            trans_drift_rate=args.loop_trans_drift_rate
+            or lp.trans_drift_rate,
+            rot_drift_rate=args.loop_rot_drift_rate or lp.rot_drift_rate,
+        )
+        return MonoSLAM(cfg, lp)
     if args.mode == "slam":
         from viso_tpu.slam.loop_closure import LoopParams
 
@@ -78,7 +95,7 @@ def main(argv=None):
                     default="synthetic")
     ap.add_argument("--root", default="")
     ap.add_argument("--sequence", default="00")
-    ap.add_argument("--mode", choices=["mono", "stereo", "slam"], default="stereo")
+    ap.add_argument("--mode", choices=["mono", "stereo", "slam", "mono-slam"], default="stereo")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--num-features", type=int, default=512)
     ap.add_argument("--max-landmarks", type=int, default=2048)
@@ -156,7 +173,7 @@ def main(argv=None):
         scene = synthetic.corridor_scene(rng)
         n = args.max_frames or 30
         Rs, ts = synthetic.forward_trajectory(n, step=0.4)
-        if args.mode == "mono" and not args.init_disparity_px:
+        if args.mode in ("mono", "mono-slam") and not args.init_disparity_px:
             # Forward motion yields small radial flow; the reference's
             # 15 px lateral-motion gate would never accept an init here.
             args.init_disparity_px = 5.0
@@ -177,7 +194,7 @@ def main(argv=None):
         args.height, args.width = first.image.shape
     vo = build_engine(seq, args)
     if args.resume:
-        if args.mode == "slam":
+        if args.mode in ("slam", "mono-slam"):
             # Full SLAM restore (map + pose graph + loop DB): swap the
             # freshly-built engine for the checkpointed one.
             vo.close()
@@ -211,7 +228,7 @@ def main(argv=None):
         )
 
     def step(frame):
-        if args.mode == "mono":
+        if args.mode in ("mono", "mono-slam"):
             return vo.process(frame.image)
         return vo.process(frame.image, frame.image_right)
 
@@ -235,7 +252,7 @@ def main(argv=None):
         if args.viz_every and frame.index % args.viz_every == 0:
             write_overlay(frame.index)
         if args.checkpoint_every and frame.index and frame.index % args.checkpoint_every == 0:
-            if args.mode == "slam":
+            if args.mode in ("slam", "mono-slam"):
                 checkpoint.save_slam(
                     os.path.join(args.out_dir, "slam.npz"), vo,
                     extra={"frame": frame.index},
@@ -258,7 +275,7 @@ def main(argv=None):
         gt_t = np.asarray(seq.gt_t)[sel]
         c_est = metrics.camera_centers(R_est, t_est)
         c_gt = metrics.camera_centers(gt_R, gt_t)
-        with_scale = args.mode == "mono"
+        with_scale = args.mode in ("mono", "mono-slam")
         summary["ate_rmse_m"] = metrics.ate_rmse(
             c_est, c_gt, align=True, with_scale=with_scale
         )

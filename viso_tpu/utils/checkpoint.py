@@ -69,9 +69,10 @@ def load_map(path: str):
 
 
 def save_slam(path: str, slam, extra: dict | None = None):
-    """Full StereoSLAM checkpoint: map window + live pose + pose graph +
-    loop database. `load_slam` resumes a run that keeps tracking AND
-    keeps closing loops against pre-checkpoint places.
+    """Full SLAM checkpoint (StereoSLAM or MonoSLAM): map window + live
+    pose + pose graph (+ node scales and edge scale ratios for the mono
+    Sim(3) graph) + loop database. `load_slam` resumes a run that keeps
+    tracking AND keeps closing loops against pre-checkpoint places.
 
     Per-frame results recorded before the checkpoint are not stored
     (write the trajectory separately via save_trajectory if needed);
@@ -95,7 +96,7 @@ def save_slam(path: str, slam, extra: dict | None = None):
         "edge_j": np.asarray([e[1] for e in slam.pg_edges], np.int64),
         "edge_R": np.stack([e[2] for e in slam.pg_edges]) if slam.pg_edges else np.zeros((0, 3, 3)),
         "edge_t": np.stack([e[3] for e in slam.pg_edges]) if slam.pg_edges else np.zeros((0, 3)),
-        "edge_w": np.asarray([e[4] for e in slam.pg_edges], np.float32),
+        "edge_w": np.asarray([e[-1] for e in slam.pg_edges], np.float32),
         # Loop DB (bf16 descriptors stored as f32 — npz-portable).
         "db_desc": np.asarray(db.desc, np.float32),
         "db_desc_mask": db.desc_mask,
@@ -103,8 +104,25 @@ def save_slam(path: str, slam, extra: dict | None = None):
         "db_points_ok": db.points_ok, "db_R": db.R, "db_t": db.t,
         "db_frame_id": db.frame_id, "db_node_id": db.node_id,
         "db_path_len": db.path_len, "db_rot_len": db.rot_len,
+        "db_seam_t": db.seam_t, "db_seam_r": db.seam_r,
         "db_insert_seq": db.insert_seq,
     }
+    mono = hasattr(slam, "pg_s")
+    if mono:
+        # Sim(3) graph extras: node scales + per-edge scale ratios
+        # (mono edges are (i, j, s_ij, R, t, w)).
+        arrays["pg_s"] = np.asarray(slam.pg_s, np.float32)
+        arrays["edge_s"] = np.asarray(
+            [e[2] for e in slam.pg_edges], np.float32
+        )
+        arrays["edge_R"] = (
+            np.stack([e[3] for e in slam.pg_edges])
+            if slam.pg_edges else np.zeros((0, 3, 3))
+        )
+        arrays["edge_t"] = (
+            np.stack([e[4] for e in slam.pg_edges])
+            if slam.pg_edges else np.zeros((0, 3))
+        )
     for lvl, img in enumerate(slam.map.kf_pyr):
         arrays[f"kf_pyr_{lvl}"] = img
     arrays = {k: np.asarray(v) for k, v in arrays.items()}
@@ -116,6 +134,9 @@ def save_slam(path: str, slam, extra: dict | None = None):
         "kf_order": list(slam.kf_order),
         "path_len": slam._path_len,
         "rot_len": slam._rot_len,
+        "seam_trans": getattr(slam, "_seam_trans", 0.0),
+        "seam_rot": getattr(slam, "_seam_rot", 0.0),
+        "kind": "mono" if hasattr(slam, "pg_s") else "stereo",
         "db_total": db.total,
         "loops": slam.loops,
         "extra": extra or {},
@@ -127,7 +148,7 @@ def save_slam(path: str, slam, extra: dict | None = None):
 
 
 def load_slam(path: str, config, loop_params=None):
-    """Restore a StereoSLAM from a save_slam checkpoint.
+    """Restore a StereoSLAM or MonoSLAM from a save_slam checkpoint.
 
     `config`/`loop_params` must match the capacities the checkpoint was
     written with (static shapes). Returns (slam, extra_metadata).
@@ -138,7 +159,13 @@ def load_slam(path: str, config, loop_params=None):
     data = np.load(path)
     meta = json.loads(bytes(data["_meta"]).decode())
     assert meta["version"] == _FORMAT_VERSION, meta
-    slam = StereoSLAM(config, loop_params)
+    mono = meta.get("kind") == "mono"
+    if mono:
+        from viso_tpu.slam.mono_full import MonoSLAM
+
+        slam = MonoSLAM(config, loop_params)
+    else:
+        slam = StereoSLAM(config, loop_params)
     pyr = tuple(
         jnp.asarray(data[f"kf_pyr_{lvl}"]) for lvl in range(meta["num_levels"])
     )
@@ -164,11 +191,23 @@ def load_slam(path: str, config, loop_params=None):
     slam.pg_R = [r for r in data["pg_R"]]
     slam.pg_t = [t for t in data["pg_t"]]
     slam.pg_frame = list(data["pg_frame"])
-    slam.pg_edges = [
-        (int(data["edge_i"][k]), int(data["edge_j"][k]),
-         data["edge_R"][k], data["edge_t"][k], float(data["edge_w"][k]))
-        for k in range(len(data["edge_i"]))
-    ]
+    if mono:
+        slam.pg_s = [float(s) for s in data["pg_s"]]
+        slam.pg_edges = [
+            (int(data["edge_i"][k]), int(data["edge_j"][k]),
+             float(data["edge_s"][k]), data["edge_R"][k],
+             data["edge_t"][k], float(data["edge_w"][k]))
+            for k in range(len(data["edge_i"]))
+        ]
+    slam._seam_trans = meta.get("seam_trans", 0.0)
+    slam._seam_rot = meta.get("seam_rot", 0.0)
+    if not mono:
+        slam.pg_edges = [
+            (int(data["edge_i"][k]), int(data["edge_j"][k]),
+             data["edge_R"][k], data["edge_t"][k],
+             float(data["edge_w"][k]))
+            for k in range(len(data["edge_i"]))
+        ]
     slam.loops = list(meta["loops"])
     slam._path_len = meta["path_len"]
     slam._rot_len = meta["rot_len"]
@@ -188,6 +227,9 @@ def load_slam(path: str, config, loop_params=None):
     db.node_id = data["db_node_id"].copy()
     db.path_len = data["db_path_len"].copy()
     db.rot_len = data["db_rot_len"].copy()
+    if "db_seam_t" in data:
+        db.seam_t = data["db_seam_t"].copy()
+        db.seam_r = data["db_seam_r"].copy()
     db.insert_seq = data["db_insert_seq"].copy()
     db.total = meta["db_total"]
     if slam.kf_order:
