@@ -110,3 +110,26 @@ def test_export_map_html(tmp_path, rng):
     start = html.index("const POINTS = ") + len("const POINTS = ")
     end = html.index(";\n", start)
     assert len(_json.loads(html[start:end])) == 50
+
+
+def test_debug_finite_state_audit():
+    """check_finite_state flags exactly the poisoned field."""
+    import jax.numpy as jnp
+
+    from viso_tpu.slam.engine import StereoVO, VOConfig
+    from viso_tpu.utils import debug
+
+    cfg = VOConfig(
+        height=64, width=96, max_keyframes=2, max_landmarks=32,
+        num_features=16, detect_grid=(2, 2), fx=100.0, fy=100.0,
+        cx=47.5, cy=31.5,
+    )
+    vo = StereoVO(cfg)
+    assert debug.check_finite_state(vo) == []
+    vo.map = vo.map._replace(
+        points=vo.map.points.at[3, 1].set(jnp.nan)
+    )
+    bad = debug.check_finite_state(vo)
+    assert bad == ["map.points"], bad
+    vo.close()
+    debug.assert_no_donation()
