@@ -232,8 +232,11 @@ class BaseVO:
         if len(take) < 5:
             return None, None
         idxs = np.array([i for i, _ in take])
-        R = np.stack([np.asarray(r.R) for _, r in take])
-        t = np.stack([np.asarray(r.t) for _, r in take])
+        # ONE stacked pull: per-result np.asarray costs a ~29 ms
+        # round-trip each behind the tunneled TPU (~0.7 s of dispatch-
+        # thread stall per recovery event).
+        R = np.asarray(jnp.stack([r.R for _, r in take]))
+        t = np.asarray(jnp.stack([r.t for _, r in take]))
         c = -np.einsum("nji,nj->ni", R, t)
         gaps = np.diff(idxs)
         steps = np.linalg.norm(np.diff(c, axis=0), axis=-1) / gaps

@@ -220,6 +220,9 @@ class MonoSLAM(MonocularVO):
             )
             # Estimate for the new node: raw forward increment on top
             # of the previous SOLVED similarity (scale rides along).
+            # Pure NumPy: sim3.compose on device arrays would dispatch
+            # device ops + a readback from the worker thread per
+            # keyframe (~2 tunnel round-trips of pure waste).
             from viso_tpu.geometry import sim3 as sim3_mod
 
             R_fwd, t_fwd = _rel_np(
@@ -227,10 +230,9 @@ class MonoSLAM(MonocularVO):
                 self.pg_raw_R[node_id - 1], self.pg_raw_t[node_id - 1],
             )
             s_e, R_e, t_e = sim3_mod.compose(
-                1.0, jnp.asarray(R_fwd), jnp.asarray(t_fwd),
+                1.0, R_fwd, t_fwd,
                 self.pg_s[node_id - 1],
-                jnp.asarray(self.pg_R[node_id - 1]),
-                jnp.asarray(self.pg_t[node_id - 1]),
+                self.pg_R[node_id - 1], self.pg_t[node_id - 1],
             )
             self.pg_s.append(float(s_e))
             self.pg_R.append(np.asarray(R_e))
