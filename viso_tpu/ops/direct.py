@@ -37,8 +37,10 @@ class DirectParams(NamedTuple):
     huber_delta: float = 25.0  # gray levels; robust kernel (ours)
     min_depth: float = 1e-3
     lm_damping: float = 1e-4
-    # Per-patch affine illumination compensation: residual
-    # I - (a T + b) with closed-form (a, b) per patch each iteration.
+    # Global affine illumination compensation: residual I - (a T + b)
+    # with one closed-form (a, b) pair fit over ALL valid patch pixels
+    # per iteration (per-patch fits absorb alignment signal — measured
+    # worse; see _level_pass_cached).
     # The plain I - T residual (the reference's, viso.cpp:722) assumes
     # brightness constancy, which any real camera's auto-exposure
     # violates — measured on the degraded orbit bench the plain
