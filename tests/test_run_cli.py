@@ -42,3 +42,43 @@ def test_run_cli_stereo_with_overlays(tmp_path):
     with open(p, "rb") as f:
         sig = f.read(8)
     assert sig == b"\x89PNG\r\n\x1a\n"
+
+
+def test_run_cli_slam_mode_with_checkpoint(tmp_path):
+    """CLI wiring of --mode slam: loop layer constructed, checkpoint
+    written mid-run, artifacts + summary produced, no hook errors."""
+    from viso_tpu import run
+
+    out = str(tmp_path / "out_slam")
+    summary = run.main(
+        [
+            "--dataset", "synthetic", "--mode", "slam",
+            "--max-frames", "14", "--checkpoint-every", "8",
+            "--out-dir", out,
+        ]
+    )
+    assert summary["ate_rmse_m"] < 0.3
+    assert os.path.exists(os.path.join(out, "slam.npz"))
+    assert os.path.exists(os.path.join(out, "trajectory.txt"))
+    assert os.path.exists(os.path.join(out, "map.html"))
+
+
+def test_run_cli_mono_slam_mode(tmp_path):
+    """CLI wiring of --mode mono-slam: the Sim(3) layer runs end-to-end
+    on the synthetic sequence (auto init-disparity relaxation for the
+    forward-motion bootstrap) and produces scale-aligned metrics."""
+    from viso_tpu import run
+
+    out = str(tmp_path / "out_mono_slam")
+    summary = run.main(
+        [
+            "--dataset", "synthetic", "--mode", "mono-slam",
+            "--max-frames", "14", "--out-dir", out,
+        ]
+    )
+    # Mono, scale-aligned; just require a sane bounded number and that
+    # the run produced its artifacts without poisoning the loop worker.
+    assert np.isfinite(summary["ate_rmse_m"])
+    assert summary["ate_rmse_m"] < 2.0
+    assert os.path.exists(os.path.join(out, "trajectory.png"))
+    assert os.path.exists(os.path.join(out, "summary.json"))
