@@ -718,59 +718,77 @@ def bench_e2e_fullres(n_frames=44, warmup=12):
 
 
 def main():
+    # The full suite is ~30 min on the tunneled dev TPU. Stages run in
+    # IMPORTANCE order under a wall-clock budget: if the budget is hit,
+    # remaining stages are recorded as skipped and the JSON line still
+    # prints — a driver-side timeout must never lose the whole record.
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("VISO_BENCH_BUDGET_S", "1700"))
+    stage_s: dict = {}
+
     fps, dev = bench_headline()
     extra = dict(dev)
-    if os.environ.get("VISO_BENCH_QUICK") != "1":
+    stage_s["headline"] = round(time.perf_counter() - t_start, 1)
+
+    def run_stage(name, fn):
+        """Run one optional stage with error isolation + the budget."""
+        if time.perf_counter() - t_start > budget_s:
+            extra[name] = "skipped: bench time budget"
+            return
+        t0 = time.perf_counter()
         try:
-            iters_s, ba_silicon = bench_ba_iters()
-            extra["ba_iters_per_s_50kf_4096lm"] = round(iters_s, 2)
-            extra.update(ba_silicon)
+            fn()
         except Exception as e:  # noqa: BLE001 — never lose the headline
-            extra["ba_iters_per_s_50kf_4096lm"] = f"error: {e}"
-        try:
-            mono_ate, mono_fps = bench_mono()
-            extra["mono_ate_rmse_m_500f"] = round(mono_ate, 4)
-            extra["mono_fps_500f"] = round(mono_fps, 2)
-        except Exception as e:  # noqa: BLE001
-            extra["mono_500f"] = f"error: {e}"
-        try:
-            extra.update(bench_backend_comparison())
-        except Exception as e:  # noqa: BLE001
-            extra["backend_comparison"] = f"error: {e}"
-        try:
-            extra.update(bench_weak_scaling())
-        except Exception as e:  # noqa: BLE001
-            extra["weak_scaling"] = f"error: {e}"
-        try:
-            ate, loops, e2e_fps = bench_long_slam()
-            extra["ate_rmse_m_500f_loop_slam"] = round(ate, 4)
-            extra["loops_closed_500f"] = loops
-            extra["e2e_ingest_fps_500f_median"] = round(e2e_fps[1], 2)
-            e2e_fps = e2e_fps[0]
-            try:
-                ate_d, loops_d, _ = bench_long_slam(degrade=True)
-                extra["ate_rmse_m_500f_degraded"] = round(ate_d, 4)
-                extra["loops_closed_500f_degraded"] = loops_d
-            except Exception as e:  # noqa: BLE001
-                extra["degraded_500f"] = f"error: {e}"
-            # Includes PNG decode + H2D (one frame ahead, overlapped);
-            # on the dev tunnel (~10 MB/s) this is transfer-bound — on a
-            # PCIe host it matches the chip number. Both are reported so
-            # the claim is honest.
-            extra["e2e_ingest_fps_500f_half_res"] = round(e2e_fps, 2)
-        except Exception as e:  # noqa: BLE001
-            extra["long_slam"] = f"error: {e}"
-        try:
-            extra["e2e_ingest_fps_full_res"] = round(bench_e2e_fullres(), 2)
-        except Exception as e:  # noqa: BLE001
-            extra["e2e_ingest_fps_full_res"] = f"error: {e}"
-        try:
-            slam_fps, _ = bench_headline(
-                with_device_metrics=False, engine="slam"
-            )
-            extra["stereo_slam_fps_full_res"] = round(slam_fps, 2)
-        except Exception as e:  # noqa: BLE001
-            extra["stereo_slam_fps_full_res"] = f"error: {e}"
+            extra[name] = f"error: {e}"
+        stage_s[name] = round(time.perf_counter() - t0, 1)
+
+    def _slam_fps():
+        slam_fps, _ = bench_headline(
+            with_device_metrics=False, engine="slam"
+        )
+        extra["stereo_slam_fps_full_res"] = round(slam_fps, 2)
+
+    def _ba():
+        iters_s, ba_silicon = bench_ba_iters()
+        extra["ba_iters_per_s_50kf_4096lm"] = round(iters_s, 2)
+        extra.update(ba_silicon)
+
+    def _long_slam():
+        ate, loops, e2e_fps = bench_long_slam()
+        extra["ate_rmse_m_500f_loop_slam"] = round(ate, 4)
+        extra["loops_closed_500f"] = loops
+        extra["e2e_ingest_fps_500f_median"] = round(e2e_fps[1], 2)
+        # Includes PNG decode + H2D (one frame ahead, overlapped); on
+        # the dev tunnel (~10 MB/s) this is transfer-bound — on a PCIe
+        # host it matches the chip number. Both are reported so the
+        # claim is honest.
+        extra["e2e_ingest_fps_500f_half_res"] = round(e2e_fps[0], 2)
+
+    def _degraded():
+        ate_d, loops_d, _ = bench_long_slam(degrade=True)
+        extra["ate_rmse_m_500f_degraded"] = round(ate_d, 4)
+        extra["loops_closed_500f_degraded"] = loops_d
+
+    def _mono():
+        mono_ate, mono_fps = bench_mono()
+        extra["mono_ate_rmse_m_500f"] = round(mono_ate, 4)
+        extra["mono_fps_500f"] = round(mono_fps, 2)
+
+    def _fullres():
+        extra["e2e_ingest_fps_full_res"] = round(bench_e2e_fullres(), 2)
+
+    if os.environ.get("VISO_BENCH_QUICK") != "1":
+        run_stage("stereo_slam_fps_full_res", _slam_fps)
+        run_stage("ba_iters_per_s_50kf_4096lm", _ba)
+        run_stage("long_slam", _long_slam)
+        run_stage("degraded_500f", _degraded)
+        run_stage("mono_500f", _mono)
+        run_stage("backend_comparison",
+                  lambda: extra.update(bench_backend_comparison()))
+        run_stage("weak_scaling",
+                  lambda: extra.update(bench_weak_scaling()))
+        run_stage("e2e_ingest_fps_full_res", _fullres)
+    extra["bench_stage_s"] = stage_s
 
     print(
         json.dumps(
