@@ -723,7 +723,11 @@ def main():
     # remaining stages are recorded as skipped and the JSON line still
     # prints — a driver-side timeout must never lose the whole record.
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("VISO_BENCH_BUDGET_S", "1700"))
+    # Default chosen ABOVE the warmed-cache full-suite time (~25-30 min)
+    # so no stage is skipped in a normal run; it exists to bound
+    # pathological cases (cold-compile storms, tunnel stalls) so the
+    # JSON record still prints before any external timeout.
+    budget_s = float(os.environ.get("VISO_BENCH_BUDGET_S", "2300"))
     stage_s: dict = {}
 
     fps, dev = bench_headline()
