@@ -1032,6 +1032,7 @@ class MonocularVO(BaseVO):
             pyr = pyramid.build_pyramid(
                 img.astype(jnp.float32), cfg.pyramid_levels
             )
+            self._dead_reckon()
             self._try_initialize(pyr)
         else:
             ok_align, refined, n_tracked, pyr = self._track_landmarks(img)
@@ -1084,6 +1085,16 @@ class MonocularVO(BaseVO):
         # loss, so the median per-frame translation over the last
         # healthy frames anchors the new segment's scale.
         self._scale_prior = self._recent_speed()
+        # Constant-velocity dead reckoning THROUGH the blackout: a
+        # re-init takes tens of frames under low-parallax forward
+        # motion (the disparity gate needs baseline to accumulate), and
+        # holding the pose bakes a zero-motion plateau into the
+        # trajectory — measured on the 500-frame mono bench, one
+        # 33-frame blackout (5 m of real motion recorded as none) plus
+        # its re-init scale seam dominated the ATE (2.6 m). Extrapolate
+        # the recorded pose by the pre-loss per-frame increment instead;
+        # the two-view measurement overrides it from the ref frame on.
+        self._dr_fwd = self._recent_fwd()
         self.map = map_state.empty(
             cfg.max_keyframes,
             cfg.max_landmarks,
@@ -1107,6 +1118,55 @@ class MonocularVO(BaseVO):
         healthy frames (see BaseVO._recent_motion)."""
         return self._recent_motion()[0]
 
+    def _recent_fwd(self):
+        """Pre-loss per-frame forward increment T_fwd = T_k o T_{k-1}^-1
+        (world->cam convention) from the recorded healthy poses, for
+        dead reckoning through a tracking blackout. Componentwise-median
+        translation over the last adjacent healthy pairs (single-pair
+        increments carry per-frame GN jitter), rotation from the newest
+        pair. None if too little history or the increment fails the
+        motion-model sanity clamps. One stacked D2H pull, re-init only."""
+        healthy = [
+            (i, r)
+            for i, r in enumerate(self.results)
+            if r.num_tracked >= self.cfg.min_tracked_points
+        ]
+        pairs = [
+            (a[1], b[1])
+            for a, b in zip(healthy[-9:-1], healthy[-8:])
+            if b[0] - a[0] == 1
+        ]
+        if not pairs:
+            return None
+        R = np.asarray(jnp.stack([r.R for p in pairs for r in p]))
+        t = np.asarray(jnp.stack([r.t for p in pairs for r in p]))
+        Ra, ta = R[0::2], t[0::2]
+        Rb, tb = R[1::2], t[1::2]
+        R_f = np.einsum("nij,nkj->nik", Rb, Ra)        # Rb @ Ra^T
+        t_f = tb - np.einsum("nij,nj->ni", R_f, ta)
+        t_med = np.median(t_f, axis=0).astype(np.float32)
+        R_last = R_f[-1].astype(np.float32)
+        if not (np.all(np.isfinite(t_med)) and np.all(np.isfinite(R_last))):
+            return None
+        ang = np.arccos(np.clip((np.trace(R_last) - 1) / 2, -1, 1))
+        if (
+            np.linalg.norm(t_med) > self.cfg.max_step_translation
+            or ang > self.cfg.max_step_rotation
+        ):
+            return None
+        return R_last, t_med
+
+    def _dead_reckon(self):
+        """Advance the pose by the pre-loss velocity during a post-
+        re-init blackout (no-op otherwise). Two tiny device ops per
+        lost frame; no readback."""
+        dr = getattr(self, "_dr_fwd", None)
+        if dr is None or self.num_reinits == 0:
+            return
+        R_f, t_f = dr
+        self.R = jnp.asarray(R_f) @ self.R
+        self.t = jnp.asarray(R_f) @ self.t + jnp.asarray(t_f)
+
     # -- initialization (reference viso.cpp:13-111) --------------------
     def _try_initialize(self, pyr):
         cfg = self.cfg
@@ -1117,6 +1177,12 @@ class MonocularVO(BaseVO):
         if reseed:
             uv, score, mask = self._detect(pyr)
             self.init_ref = (pyr, uv, mask, self.frame_idx)
+            # Anchor the segment at the ref frame's CURRENT pose: with
+            # dead reckoning the pose advances during the blackout, and
+            # the accepted two-view pose composes onto the ref-time
+            # anchor. (Identical to the old behavior when the pose is
+            # held: R/t never move during init without a _dr_fwd.)
+            self.init_base = (self.R, self.t)
             return
 
         ref_pyr, ref_kps, ref_mask, ref_idx = self.init_ref
