@@ -142,6 +142,67 @@ def test_hook_failure_appends_placeholder_node(slam):
     assert len(s.pg_edges) == 1           # sequential edge 0 -> 1
 
 
+def test_rejected_midtrajectory_alias_despite_calm_newest_node(slam):
+    """A diverged solve whose damage concentrates MID-trajectory must be
+    rejected even when the newest node barely moves (VERDICT r4 weak #8:
+    the r4 gate checked only the newest node). Construction: a long
+    out-and-back line whose endpoints coincide, with an aliased edge
+    binding the MIDPOINT (the far end of the line) to node 0 — the
+    consistent ends pin the newest node while the middle collapses."""
+    s = slam
+    s.loop_params.min_event_gap_kf = 100
+    s.loop_params.max_correction_m = 0.5
+    s._last_event_node = 0
+    n = 13          # out to x=6 at node 6, back to x=0 at node 12
+    centers = [min(k, (n - 1) - k) * 1.0 for k in range(n)]
+    # Aliased edge: claims node 6 (at x=6) sits AT node 0 (x=0).
+    alias = LoopCandidate(
+        db_index=0, matches=50, inliers=90,
+        R_rel=np.eye(3, dtype=np.float32),
+        t_rel=np.zeros(3, np.float32),
+    )
+    # Consistent edge closing the real end-to-end loop (node 12 at
+    # x=0 == node 0): keeps the newest node pinned near its init.
+    consistent = LoopCandidate(
+        db_index=0, matches=50, inliers=90,
+        R_rel=np.eye(3, dtype=np.float32),
+        t_rel=np.zeros(3, np.float32),
+    )
+    for k in range(n):
+        cand = alias if k == 6 else (consistent if k == n - 1 else None)
+        _push(s, k, [centers[k], 0.0, 0.0], cand=cand)
+    assert len(s._pending_loop_edges) == 2
+    edges_snapshot = list(s.pg_edges)
+    R_init = [r.copy() for r in s.pg_R]
+    t_init = [t.copy() for t in s.pg_t]
+    s.join()
+    # Prove the scenario discriminates: solving the rejected graph moves
+    # the NEWEST node less than the ceiling (the r4 gate would have
+    # accepted) while some mid-trajectory node blows past it.
+    from viso_tpu.backend import pose_graph
+
+    out, _ = pose_graph.solve_padded(
+        R_init, t_init, edges_snapshot, pose_graph.PGParams(iters=25)
+    )
+    R_sol = np.asarray(out.R)[:n]
+    t_sol = np.asarray(out.t)[:n]
+    c_init = -np.einsum("nji,nj->ni", np.stack(R_init), np.stack(t_init))
+    c_sol = -np.einsum("nji,nj->ni", R_sol, t_sol)
+    jumps = np.linalg.norm(c_sol - c_init, axis=-1)
+    assert jumps[-1] <= s.loop_params.max_correction_m, jumps
+    assert jumps.max() > s.loop_params.max_correction_m, jumps
+    # The solve is torn between odometry (midpoint at x=6) and the alias
+    # (midpoint at x=0): mid-trajectory nodes move way beyond the 0.5 m
+    # ceiling while the newest node stays near x=0. The widened gate
+    # must reject and roll back ALL pending edges.
+    assert s._pending_loop_edges == [] and s.loops == []
+    assert len(s.pg_edges) == n - 1       # both loop edges dropped
+    for k in range(n):
+        assert np.allclose(
+            s.pg_t[k], -np.asarray([centers[k], 0, 0]), atol=1e-5
+        )
+
+
 def test_mono_sim3_rejects_absurd_scale_edge():
     s = MonoSLAM(_tiny_cfg(), _tiny_params())
     s.loop_db.add = lambda *a, **k: None

@@ -276,13 +276,19 @@ def test_mono_slam_closes_loop(room):
         )
 
     class SeamMonoSLAM(MonoSLAM):
-        """Recovery scale prior biased 1.5x: the post-re-init segment
+        """Recovery scale anchors biased 1.5x: the post-re-init segment
         runs at the wrong scale, which is exactly the monocular failure
-        the Sim3 graph exists to correct."""
+        the Sim3 graph exists to correct. Both anchors are biased — the
+        depth-continuity prior (primary) and the speed prior (fallback)
+        — so the seam is engineered regardless of which path fires."""
 
         def _recent_speed(self):
             s = super()._recent_speed()
             return None if s is None else 1.5 * s
+
+        def _map_median_depth(self):
+            d = super()._map_median_depth()
+            return None if d is None else 1.5 * d
 
     cfg = _VOConfig(
         height=H, width=W, max_keyframes=6, max_landmarks=768,
@@ -309,6 +315,14 @@ def test_mono_slam_closes_loop(room):
     assert any(abs(np.log(lo["s_rel"])) > 0.15 for lo in slam.loops), (
         slam.loops
     )
+    # ... and measure it QUANTITATIVELY: the engineered seam is 1.5x
+    # (expected s_rel ~= 1/1.5 for cand=pre-seam, cur=post-seam), so at
+    # least one edge must land within ~20% of it in log space (measured
+    # 0.71-0.75 vs 0.667 on the 8-vCPU reference box; the margin covers
+    # the residual per-keyframe scale drift between seam and loop).
+    assert any(
+        abs(np.log(lo["s_rel"] * 1.5)) < 0.2 for lo in slam.loops
+    ), slam.loops
     # Recovered node scales: sane, and actually exercising the scale
     # DoF across the seam.
     s = np.asarray(slam.pg_s)

@@ -220,11 +220,17 @@ def _lm_iteration(
 ):
     """One LM step: build normal equations, Schur-reduce, solve, update.
 
-    With `axis_name` (landmark-sharded distributed mode): camera-block
-    partial sums (U, g_c) and the Schur cross terms ride ICI via `psum`;
-    everything landmark-indexed (V, V^-1, W, Y, g_p, delta_p) stays
-    shard-local — exactly the layout SURVEY.md §2 prescribes. The reduced
-    6Cx6C camera solve is replicated on every device.
+    Also returns the robust cost AT THE INPUT STATE, computed from this
+    pass's own residuals — the LM accept test needs it, and a separate
+    compute_cost pass would redo the projection (a third residual sweep
+    per iteration) and, distributed, spend an extra collective.
+
+    With `axis_name` (landmark-sharded distributed mode): ONE fused
+    `psum` per iteration carries the camera blocks (U, g_c), the Schur
+    cross terms, and the cost scalar over ICI; everything
+    landmark-indexed (V, V^-1, W, Y, g_p, delta_p) stays shard-local —
+    exactly the layout SURVEY.md §2 prescribes. The reduced 6Cx6C
+    camera solve is replicated on every device.
     """
     valid = prob.obs_mask & prob.cam_mask[:, None] & prob.point_mask[None, :]
     r, ok, p_cam = _project_residuals(
@@ -232,6 +238,9 @@ def _lm_iteration(
         params.min_depth,
     )
     r_norm = jnp.linalg.norm(r, axis=1)
+    cost = jnp.sum(
+        jnp.where(ok, robust.tukey_cost(r_norm, trunc), 0.0)
+    )
     w = jnp.where(ok, robust.tukey_weight(r_norm, trunc), 0.0)  # (C, L)
     Jc, Jp = _jacobians(p_cam, R)                       # (C,2,6,L), (C,2,3,L)
     okf = ok.astype(r.dtype)
@@ -254,9 +263,6 @@ def _lm_iteration(
     ]                                                   # 3 x (C, 6, L)
     g_c = -jnp.einsum("cail,cal->ci", Jc_w, r)
     g_p = -jnp.einsum("cail,cal->il", Jp_w, r)          # (3, L)
-    if axis_name is not None:
-        U = jax.lax.psum(U, axis_name)
-        g_c = jax.lax.psum(g_c, axis_name)
 
     # Gauge/freeze mask: first num_fixed cameras, explicit cam_fixed
     # slots, and unused slots.
@@ -264,16 +270,20 @@ def _lm_iteration(
     if prob.cam_fixed is not None:
         free = free & ~prob.cam_fixed
 
-    delta_c, delta_p = schur_solve(
-        U, V, W, g_c, g_p, lam, prob.point_mask, free, axis_name=axis_name
+    delta_c, delta_p, cost = schur_solve(
+        U, V, W, g_c, g_p, lam, prob.point_mask, free, axis_name=axis_name,
+        fold_scalar=cost,
     )
 
     R_new, t_new = jax.vmap(se3.left_update)(delta_c, R, t)
     points_new = points + delta_p.T
-    return R_new, t_new, points_new
+    return R_new, t_new, points_new, cost
 
 
-def schur_solve(U, V, W, g_c, g_p, lam, point_mask, free, axis_name=None):
+def schur_solve(
+    U, V, W, g_c, g_p, lam, point_mask, free, axis_name=None,
+    fold_scalar=None,
+):
     """Damped Schur-complement solve of a 6/3 block system, slab form.
 
     Shared by the reprojection and photometric (ba_photometric.py)
@@ -284,18 +294,19 @@ def schur_solve(U, V, W, g_c, g_p, lam, point_mask, free, axis_name=None):
     U (C, 6, 6) camera blocks; V (3, 3, L) landmark-block scalar planes;
     W: list of three (C, 6, L) slabs (column k of the (6, 3) cross
     blocks); g_c (C, 6); g_p (3, L); free (C,) bool — cameras optimized.
-    Returns (delta_c (C, 6), delta_p (3, L)), zero for masked slots.
+    Returns (delta_c (C, 6), delta_p (3, L), fold_scalar), zero for
+    masked slots.
 
     With `axis_name` (landmark-sharded distributed mode, inside
-    shard_map): only the (6C)^2 + 6C reduced camera system is psum'd
-    over the mesh; everything landmark-indexed stays shard-local.
+    shard_map): ONE fused psum carries the (6C)^2 + 6C reduced camera
+    system, the U/g_c camera blocks, and the caller's optional
+    `fold_scalar` (e.g. the local robust cost — folding it here spares
+    a separate scalar collective per LM iteration); everything
+    landmark-indexed stays shard-local.
     """
     C = U.shape[0]
     dtype = U.dtype
 
-    # LM damping (multiplicative on the diagonal).
-    eye6 = jnp.eye(6, dtype=dtype)
-    U_d = U + lam * (jnp.einsum("cii->c", U) / 6.0 + 1e-6)[:, None, None] * eye6
     trV = (V[0, 0] + V[1, 1] + V[2, 2]) / 3.0 + 1e-6    # (L,)
     V_d = V + (lam * trV) * jnp.eye(3, dtype=dtype)[:, :, None]
 
@@ -314,9 +325,22 @@ def schur_solve(U, V, W, g_c, g_p, lam, point_mask, free, axis_name=None):
         [jnp.einsum("cil,l->ci", Y[j], g_p[j]) for j in range(3)]
     ).sum(0)
     if axis_name is not None:
-        # Only the (6C)^2 + 6C reduced system crosses the interconnect.
-        S_cross = jax.lax.psum(S_cross, axis_name)
-        b_cross = jax.lax.psum(b_cross, axis_name)
+        # ONE collective: everything camera-indexed (shard-summed
+        # partials) plus the folded scalar crosses the interconnect
+        # together.
+        if fold_scalar is None:
+            U, g_c, S_cross, b_cross = jax.lax.psum(
+                (U, g_c, S_cross, b_cross), axis_name
+            )
+        else:
+            U, g_c, S_cross, b_cross, fold_scalar = jax.lax.psum(
+                (U, g_c, S_cross, b_cross, fold_scalar), axis_name
+            )
+
+    # LM damping (multiplicative on the diagonal) — after the psum so
+    # the damping sees the GLOBAL camera blocks.
+    eye6 = jnp.eye(6, dtype=dtype)
+    U_d = U + lam * (jnp.einsum("cii->c", U) / 6.0 + 1e-6)[:, None, None] * eye6
     S = S_cross.at[jnp.arange(C), jnp.arange(C)].add(U_d)
     b_red = g_c - b_cross
 
@@ -339,7 +363,7 @@ def schur_solve(U, V, W, g_c, g_p, lam, point_mask, free, axis_name=None):
     delta_p = jnp.einsum("ijl,jl->il", V_inv, rhs)      # (3, L)
     delta_p = jnp.where(jnp.isfinite(delta_p), delta_p, 0.0)
     delta_p = delta_p * point_mask[None, :]
-    return delta_c, delta_p
+    return delta_c, delta_p, fold_scalar
 
 
 def solve_impl(prob: BAProblem, params: BAParams = BAParams(), axis_name=None):
@@ -357,10 +381,12 @@ def solve_impl(prob: BAProblem, params: BAParams = BAParams(), axis_name=None):
 
     def body(state, trunc):
         R, t, points, lam = state
-        cost, _ = compute_cost(
-            prob._replace(R=R, t=t, points=points), params, trunc, axis_name
-        )
-        R_n, t_n, p_n = _lm_iteration(
+        # _lm_iteration returns the cost at (R, t, points) from its own
+        # residual pass — two residual sweeps per iteration (step build
+        # + accept test) instead of three, and distributed, ONE fused
+        # normal-equation psum instead of separate U/Schur/cost
+        # collectives (VERDICT r4 #4a).
+        R_n, t_n, p_n, cost = _lm_iteration(
             R, t, points, prob, lam, trunc, params, C, axis_name
         )
         new_cost, _ = compute_cost(

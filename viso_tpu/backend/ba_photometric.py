@@ -265,7 +265,7 @@ def _lm_iteration(prob, wins, R, t, points, intr, lam, params):
     free = prob.cam_mask & (jnp.arange(C) >= params.num_fixed)
     if prob.cam_fixed is not None:
         free = free & ~prob.cam_fixed
-    delta_c, delta_p = schur_solve(
+    delta_c, delta_p, _ = schur_solve(
         U, V, W, g_c, g_p, lam, prob.point_mask, free
     )
     R_new, t_new = jax.vmap(se3.left_update)(delta_c, R, t)

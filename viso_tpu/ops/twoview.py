@@ -32,6 +32,13 @@ class TwoViewResult(NamedTuple):
     num_inliers: jnp.ndarray  # scalar int
     num_tracks: jnp.ndarray   # scalar int (valid correspondences in)
     disparity_ok: jnp.ndarray  # scalar bool — enough baseline to init
+    # Median triangulation parallax (deg) over the selected motion's
+    # inliers: a rotation-COMPENSATED baseline measure. The reference's
+    # disparity gate (viso.cpp:197-218) reads raw flow, which rotation
+    # inflates — on a rotating trajectory it passes with near-zero
+    # baseline and the bootstrap triangulates at <1 deg parallax, giving
+    # depth noise that destabilizes the whole young segment.
+    median_parallax_deg: jnp.ndarray  # scalar f32
 
 
 class TwoViewParams(NamedTuple):
@@ -88,7 +95,12 @@ def select_motion(x1, x2, mask, Rs, ts, params: TwoViewParams):
         jnp.sum(inl), 1
     )
     scale = jnp.where(mean_depth > 1e-9, 1.0 / mean_depth, 1.0)
-    return R, t * scale, pts * scale, inl, counts[best]
+    # Median inlier parallax of the WINNING motion (deg): the caller's
+    # rotation-compensated accept gate.
+    ang = jnp.rad2deg(jnp.arccos(jnp.clip(cosang[best], -1.0, 1.0)))
+    med_par = jnp.nanmedian(jnp.where(inl, ang, jnp.nan))
+    med_par = jnp.where(jnp.isfinite(med_par), med_par, 0.0)
+    return R, t * scale, pts * scale, inl, counts[best], med_par
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -126,5 +138,7 @@ def initialize(key, x1, x2, mask, params: TwoViewParams = TwoViewParams()):
     else:
         Rs, ts = Rs_e, ts_e
 
-    R, t, pts, inl, n_inl = select_motion(x1, x2, mask, Rs, ts, params)
-    return TwoViewResult(R, t, pts, inl, n_inl, n_tracks, disparity_ok)
+    R, t, pts, inl, n_inl, med_par = select_motion(x1, x2, mask, Rs, ts, params)
+    return TwoViewResult(
+        R, t, pts, inl, n_inl, n_tracks, disparity_ok, med_par
+    )

@@ -46,9 +46,11 @@ def pad_landmarks(prob: ba.BAProblem, multiple: int) -> ba.BAProblem:
 def psum_bytes_per_iter(num_cams: int, dtype_bytes: int = 4) -> int:
     """Bytes each LM iteration all-reduces over the mesh.
 
-    Per _lm_iteration + schur_solve (backend/ba.py): U (C,6,6), g_c
-    (C,6), the Schur cross term S_cross (C,C,6,6) and b_cross (C,6),
-    plus two scalar cost psums (compute_cost x2: cost + n_obs each).
+    TWO collectives per iteration (r5; was four in r1-r4):
+      1. ONE fused psum inside schur_solve carrying U (C,6,6), g_c
+         (C,6), the Schur cross terms S_cross (C,C,6,6) / b_cross
+         (C,6), and the folded current-state cost scalar.
+      2. The accept-test compute_cost psum (cost + n_obs scalars).
     Independent of the landmark count — the whole point of the
     landmark-sharded layout.
     """
@@ -58,9 +60,15 @@ def psum_bytes_per_iter(num_cams: int, dtype_bytes: int = 4) -> int:
         + C * 6       # g_c
         + C * C * 36  # S_cross
         + C * 6       # b_cross
-        + 4           # two compute_cost calls: cost + n_obs
+        + 1           # folded current-state cost
+        + 2           # accept-test compute_cost: cost + n_obs
     )
     return per_iter * dtype_bytes
+
+
+# Collectives launched per LM iteration (latency term of the scaling
+# model): the fused normal-equation psum + the accept-test scalar psum.
+PSUMS_PER_ITER = 2
 
 
 @functools.lru_cache(maxsize=32)

@@ -21,6 +21,7 @@ so each kernel traces exactly once per run.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -69,6 +70,16 @@ class VOConfig:
     init_projection_error_px: float = 1.0
     init_parallax_deg: float = 60.0
     disparity_squared_thresh: float = 15.0**2
+    # Rotation-compensated baseline gate: accept the two-view bootstrap
+    # only once the median TRIANGULATED parallax of its inliers reaches
+    # this many degrees. The reference's disparity gate (viso.cpp:
+    # 197-218) reads raw flow, which rotation inflates — on a rotating
+    # trajectory it passes at near-zero baseline, and a map triangulated
+    # at <1.5 deg parallax has depth noise that destabilizes every pose
+    # solve of the young segment (measured: a post-re-init segment's
+    # scale collapsed 4x within 8 frames from a 1-frame-baseline
+    # bootstrap; see tools/diag_mono_seam.py).
+    init_min_parallax_deg: float = 1.5
 
     # Tracking
     ransac_threshold_px: float = 2.0
@@ -1005,7 +1016,8 @@ class MonocularVO(BaseVO):
     def __init__(self, config: VOConfig):
         super().__init__(config)
         self.state = "init"
-        self.init_ref = None   # (pyr, kps, mask, frame_idx)
+        # (ref_pyr, ref_kps, chained_cur_kps, mask, ref_frame_idx)
+        self.init_ref = None
         # World->cam pose of the init segment's reference camera: the
         # first bootstrap anchors at identity; a mid-run re-init anchors
         # the new map segment at the pose where tracking was lost.
@@ -1085,6 +1097,18 @@ class MonocularVO(BaseVO):
         # loss, so the median per-frame translation over the last
         # healthy frames anchors the new segment's scale.
         self._scale_prior = self._recent_speed()
+        # Depth-continuity anchor (PRIMARY): the visible scene's depth
+        # scale is also continuous through a short loss, and unlike the
+        # speed prior it transfers robustly. The speed prior fixes the
+        # bootstrap BASELINE, but per-frame tracking speed is governed
+        # by landmark DEPTHS — and a low-parallax two-view's
+        # baseline-to-depth ratio carries up to ~2x error, so a
+        # baseline-anchored segment immediately runs at scale/k
+        # (measured: intended 0.20, realized 0.127, k=1.6; see
+        # tools/diag_mono_seam.py). Anchoring the new map's median
+        # landmark depth to the dying map's median depth is insensitive
+        # to that ratio error.
+        self._depth_prior = self._map_median_depth()
         # Constant-velocity dead reckoning THROUGH the blackout: a
         # re-init takes tens of frames under low-parallax forward
         # motion (the disparity gate needs baseline to accumulate), and
@@ -1118,6 +1142,18 @@ class MonocularVO(BaseVO):
         healthy frames (see BaseVO._recent_motion)."""
         return self._recent_motion()[0]
 
+    def _map_median_depth(self):
+        """Median camera-frame depth of the current map's valid
+        landmarks (None if the map is empty/degenerate). One small
+        device op + D2H; called at re-init time only."""
+        m = self.map
+        p_cam = se3.transform(self.R, self.t, m.points)
+        z = jnp.where(m.point_mask, p_cam[:, 2], jnp.nan)
+        med = float(jnp.nanmedian(z))
+        if not np.isfinite(med) or med <= 1e-6:
+            return None
+        return med
+
     def _recent_fwd(self):
         """Pre-loss per-frame forward increment T_fwd = T_k o T_{k-1}^-1
         (world->cam convention) from the recorded healthy poses, for
@@ -1131,10 +1167,13 @@ class MonocularVO(BaseVO):
             for i, r in enumerate(self.results)
             if r.num_tracked >= self.cfg.min_tracked_points
         ]
+        # Slice once, then pair consecutively: zipping two different
+        # slices pairs elements with themselves whenever
+        # len(healthy) < 9, which silently disabled dead reckoning for
+        # short healthy histories (ADVICE r4).
+        h = healthy[-9:]
         pairs = [
-            (a[1], b[1])
-            for a, b in zip(healthy[-9:-1], healthy[-8:])
-            if b[0] - a[0] == 1
+            (a[1], b[1]) for a, b in zip(h, h[1:]) if b[0] - a[0] == 1
         ]
         if not pairs:
             return None
@@ -1169,14 +1208,32 @@ class MonocularVO(BaseVO):
 
     # -- initialization (reference viso.cpp:13-111) --------------------
     def _try_initialize(self, pyr):
+        """Two-view bootstrap with CHAINED correspondence tracking.
+
+        Init features are tracked frame-to-frame from the reference
+        (small per-step flow — well inside LK's convergence basin even
+        under fast rotation) while the ref<->current correspondence set
+        spans the full accumulated baseline. Direct ref->current LK
+        (the r1-r4 design, mirroring viso.cpp:36-44) fails exactly when
+        a large baseline has accumulated, so it could only ever accept
+        tiny-parallax bootstraps whose depth noise destabilized the
+        young segment. A dead chain (blackout, occlusion) reseeds
+        immediately instead of waiting out reinitialize_after.
+        """
         cfg = self.cfg
-        reseed = (
-            self.init_ref is None
-            or (self.frame_idx - self.init_ref[3]) >= cfg.reinitialize_after
-        )
+        ir = self.init_ref
+        reseed = ir is None or (self.frame_idx - ir[4]) >= cfg.reinitialize_after
+        if not reseed:
+            ref_pyr, ref_kps, cur_kps, mask, ref_idx = ir
+            kp2, err, ok = lk.track(self.last_pyr, pyr, cur_kps, mask)
+            n_tracks = int(jnp.sum(ok))
+            if n_tracks < cfg.min_init_tracks:
+                reseed = True
+            else:
+                self.init_ref = (ref_pyr, ref_kps, kp2, ok, ref_idx)
         if reseed:
             uv, score, mask = self._detect(pyr)
-            self.init_ref = (pyr, uv, mask, self.frame_idx)
+            self.init_ref = (pyr, uv, uv, mask, self.frame_idx)
             # Anchor the segment at the ref frame's CURRENT pose: with
             # dead reckoning the pose advances during the blackout, and
             # the accepted two-view pose composes onto the ref-time
@@ -1185,11 +1242,6 @@ class MonocularVO(BaseVO):
             self.init_base = (self.R, self.t)
             return
 
-        ref_pyr, ref_kps, ref_mask, ref_idx = self.init_ref
-        kp2, err, ok = lk.track(ref_pyr, pyr, ref_kps, ref_mask)
-        n_tracks = int(jnp.sum(ok))
-        if n_tracks < cfg.min_init_tracks:
-            return
         x1 = cam_mod.normalize(ref_kps, self.intr)
         x2 = cam_mod.normalize(kp2, self.intr)
         params = twoview.TwoViewParams(
@@ -1199,26 +1251,67 @@ class MonocularVO(BaseVO):
             disparity_squared_thresh=cfg.disparity_squared_thresh,
         )
         res = twoview.initialize(self._next_key(), x1, x2, ok, params)
-        if not bool(res.disparity_ok):
+        disp_ok, n_inl, med_par = jax.device_get(
+            (res.disparity_ok, res.num_inliers, res.median_parallax_deg)
+        )
+        if not bool(disp_ok):
             return
-        n_inl = int(res.num_inliers)
+        # Rotation-compensated baseline gate: keep chaining until the
+        # triangulated parallax supports a stable map (see
+        # init_min_parallax_deg).
+        if float(med_par) < cfg.init_min_parallax_deg:
+            return
+        n_inl = int(n_inl)
         if n_inl < cfg.min_init_tracks or n_inl < cfg.min_init_inlier_ratio * n_tracks:
             return
         # Accept: promote both frames to keyframes (viso.cpp:79-98).
         # twoview works in the reference camera's frame (world == ref
         # cam); compose with the segment base pose so a re-init segment
         # continues the global trajectory.
-        prior = getattr(self, "_scale_prior", None)
-        if prior is not None and self.num_reinits > 0:
-            # Rescale the mean-depth-normalized bootstrap so its
-            # baseline matches speed x elapsed-frames from before the
-            # loss (rotation preserves norms: baseline == |res.t|).
-            gap = max(1, self.frame_idx - ref_idx)
-            meas = float(np.linalg.norm(np.asarray(res.t)))
-            if meas > 1e-9:
-                s = float(np.clip(prior * gap / meas, 0.1, 10.0))
-                res = res._replace(t=res.t * s, points=res.points * s)
+        speed_prior = getattr(self, "_scale_prior", None)
+        depth_prior = getattr(self, "_depth_prior", None)
+        s_dbg = None
+        if self.num_reinits > 0 and (
+            depth_prior is not None or speed_prior is not None
+        ):
+            if depth_prior is not None:
+                # PRIMARY: depth continuity. Match the bootstrap's
+                # median inlier depth (ref-camera frame; frame1 == world
+                # in the two-view) to the dying map's median depth —
+                # robust to the low-parallax two-view's baseline/depth
+                # ratio error (see _reinitialize).
+                z = np.asarray(res.points[:, 2])
+                inl_np = np.asarray(res.inliers)
+                med_boot = float(np.median(z[inl_np])) if inl_np.any() else 0.0
+                s = (
+                    float(np.clip(depth_prior / med_boot, 0.1, 10.0))
+                    if med_boot > 1e-9
+                    else 1.0
+                )
+            else:
+                # Fallback: speed continuity — baseline = speed x gap
+                # (rotation preserves norms: baseline == |res.t|).
+                gap = max(1, self.frame_idx - ref_idx)
+                meas = float(np.linalg.norm(np.asarray(res.t)))
+                s = (
+                    float(np.clip(speed_prior * gap / meas, 0.1, 10.0))
+                    if meas > 1e-9
+                    else 1.0
+                )
+            res = res._replace(t=res.t * s, points=res.points * s)
+            s_dbg = s
             self._scale_prior = None
+            self._depth_prior = None
+        if os.environ.get("VISO_INIT_DEBUG") == "1":
+            import sys
+
+            print(
+                f"[init] f{self.frame_idx} ref f{ref_idx}"
+                f" s={s_dbg if s_dbg is not None else 'none'}"
+                f" depth_prior={depth_prior} speed_prior={speed_prior}"
+                f" par={float(med_par):.2f}deg inl={n_inl}",
+                file=sys.stderr,
+            )
         Rb, tb = self.init_base
         R1, t1 = se3.compose(res.R, res.t, Rb, tb)
         Rb_inv, tb_inv = se3.inverse(Rb, tb)
