@@ -250,7 +250,7 @@ def bench_headline(with_device_metrics=True, engine="vo"):
     return (n_frames - warmup) / elapsed, dev
 
 
-def bench_ba_iters(C=50, L=4096, iters=10, reps=3):
+def bench_ba_iters(C=50, L=4096, iters=10, reps=10):
     """LM iterations/s on a 50-keyframe x 4096-landmark window
     (north-star metric row 3; measures backend/ba.py — the realization
     of the reference's dead BlockSolver<6,3> intent)."""
@@ -292,11 +292,16 @@ def bench_ba_iters(C=50, L=4096, iters=10, reps=3):
     )
     params = ba.BAParams(iters=iters, num_fixed=2)
     out, info = ba.solve(prob, params)  # compile
-    jax.block_until_ready(out.R)
+    float(info["final_cost"])
+    # Back-to-back dispatches + ONE value readback: block_until_ready is
+    # not a reliable fence on the tunneled backend, and a per-call fence
+    # would bill ~RTT/rep of tunnel latency to the device metric
+    # (measured: 3 fenced reps read 518 iters/s where the device
+    # sustains ~790; see tools/bench_ba.py).
     t0_ = time.perf_counter()
     for _ in range(reps):
         out, info = ba.solve(prob, params)
-    jax.block_until_ready(out.R)
+    float(info["final_cost"])
     dt = (time.perf_counter() - t0_) / reps
     # Speed-of-light accounting for the flat ~520 iters/s (VERDICT r3
     # next #4): XLA's own cost analysis of the exact executable gives
@@ -415,6 +420,91 @@ def bench_mono(n_frames=500, warmup=60):
     return float(ate), (n_frames - warmup) / elapsed
 
 
+def bench_mono_slam(n_frames=500, warmup=40):
+    """Monocular SLAM with Sim(3) loop closure on the 2-lap orbit room
+    (left images of the stereo loop sequence — BASELINE configs 1+4
+    joined on the reference's own modality). Records what the r4 test
+    asserted but no BENCH file ever measured (VERDICT r4 #2): loops
+    closed, raw-odometry ATE vs Sim3-corrected keyframe ATE (both
+    scale-aligned), and the e2e FPS.
+    """
+    import jax
+
+    from viso_tpu.data import native
+    from viso_tpu.slam.engine import VOConfig
+    from viso_tpu.slam.loop_closure import LoopParams
+    from viso_tpu.slam.mono_full import MonoSLAM
+    from viso_tpu.utils import metrics
+
+    H, W = 184, 616
+    root, Rs, ts = _ensure_png_sequence(H, W, n_frames)
+    paths = [os.path.join(root, f"L{i:04d}.png") for i in range(n_frames)]
+
+    cfg = VOConfig(
+        height=H, width=W,
+        fx=KITTI_FULL["fx"] / 2, fy=KITTI_FULL["fy"] / 2,
+        cx=KITTI_FULL["cx"] / 2, cy=KITTI_FULL["cy"] / 2,
+        num_features=256, max_landmarks=1024, detect_grid=(4, 8),
+        fast_threshold=6.0, kf_max_gap=8, kf_min_gap=2,
+        stats_max_lag=2, stats_hard_lag=4,
+        kf_min_visible_frac=0.45,
+        disparity_squared_thresh=25.0,
+    )
+    slam = MonoSLAM(
+        cfg, LoopParams(min_inliers=40, max_correction_m=4.0)
+    )
+    pre = native.Prefetcher(paths, ring=16, threads=3)
+
+    def next_img():
+        return slam.to_device(np.clip(next(pre), 0, 255).astype(np.uint8))
+
+    nxt = next_img()
+    for i in range(warmup):
+        cur, nxt = nxt, next_img()
+        slam.process(cur)
+    t0 = time.perf_counter()
+    for i in range(n_frames - warmup):
+        cur = nxt
+        nxt = next_img() if i < n_frames - warmup - 1 else None
+        slam.process(cur)
+    jax.block_until_ready((slam.R, slam.t))
+    elapsed = time.perf_counter() - t0
+    pre.close()
+    slam.join()
+    # Keyframe-level comparison in ONE frame set: raw odometry nodes vs
+    # Sim3-corrected nodes against ground truth, both scale-aligned
+    # (mono scale is unobservable).
+    pg_R, pg_t, pg_frames = slam.graph_trajectory()
+    raw_R = np.stack(slam.pg_raw_R)
+    raw_t = np.stack(slam.pg_raw_t)
+    loops = len(slam.loops)
+    dump = os.environ.get("VISO_MONO_SLAM_DUMP")
+    if dump:
+        np.savez(
+            dump, raw_R=raw_R, raw_t=raw_t, pg_R=pg_R, pg_t=pg_t,
+            pg_s=np.asarray(slam.pg_s), pg_frames=np.asarray(pg_frames),
+            Rs=Rs, ts=ts,
+            loop_from=np.asarray([lo["from"] for lo in slam.loops]),
+            loop_to=np.asarray([lo["to"] for lo in slam.loops]),
+            loop_s=np.asarray([lo["s_rel"] for lo in slam.loops]),
+        )
+    slam.close()
+    fr = np.asarray(pg_frames)
+    c_gt = metrics.camera_centers(Rs[fr], ts[fr])
+    ate_pg = metrics.ate_rmse(
+        metrics.camera_centers(pg_R, pg_t), c_gt,
+        align=True, with_scale=True,
+    )
+    ate_raw = metrics.ate_rmse(
+        metrics.camera_centers(raw_R, raw_t), c_gt,
+        align=True, with_scale=True,
+    )
+    return (
+        float(ate_pg), float(ate_raw), loops,
+        (n_frames - warmup) / elapsed,
+    )
+
+
 def _run_tool_json(argv, timeout_s=480, env_extra=None):
     """Run a tools/ harness as a subprocess and parse its JSON lines."""
     import json as _json
@@ -465,16 +555,20 @@ def bench_weak_scaling():
     recs = _run_tool_json(
         ["tools/bench_dist_ba.py", "--landmarks", "16384"],
         env_extra={"JAX_PLATFORMS": "cpu"},
+        timeout_s=700,   # includes the TPU-side calib subprocess
     )
     out = {}
     for r in recs:
         if "devices" in r:
             out[f"mesh{r['devices']}_lm_iters_per_s"] = r["lm_iters_per_s"]
+            out["mesh_host_cores"] = r.get("host_cores")
             if "efficiency" in r:
                 out[f"mesh{r['devices']}_efficiency"] = r["efficiency"]
         elif r.get("derived") == "two_host_efficiency_bound":
             out["psum_bytes_per_iter"] = recs[0]["psum_bytes_per_iter"]
             out["two_host_efficiency_bound"] = r["efficiency_bound"]
+            out["two_host_bound_basis"] = r.get("basis")
+            out["psums_per_lm_iter"] = r.get("psums_per_iter")
     return out
 
 
@@ -778,6 +872,13 @@ def main():
         extra["mono_ate_rmse_m_500f"] = round(mono_ate, 4)
         extra["mono_fps_500f"] = round(mono_fps, 2)
 
+    def _mono_slam():
+        ate_pg, ate_raw, loops, ms_fps = bench_mono_slam()
+        extra["mono_slam_ate_m"] = round(ate_pg, 4)
+        extra["mono_slam_ate_raw_m"] = round(ate_raw, 4)
+        extra["mono_slam_loops"] = loops
+        extra["mono_slam_fps"] = round(ms_fps, 2)
+
     def _fullres():
         extra["e2e_ingest_fps_full_res"] = round(bench_e2e_fullres(), 2)
 
@@ -785,6 +886,7 @@ def main():
         run_stage("stereo_slam_fps_full_res", _slam_fps)
         run_stage("ba_iters_per_s_50kf_4096lm", _ba)
         run_stage("long_slam", _long_slam)
+        run_stage("mono_slam_500f", _mono_slam)
         run_stage("degraded_500f", _degraded)
         run_stage("mono_500f", _mono)
         run_stage("backend_comparison",
@@ -794,13 +896,26 @@ def main():
         run_stage("e2e_ingest_fps_full_res", _fullres)
     extra["bench_stage_s"] = stage_s
 
+    # Headline (VERDICT r4 #8): the SUSTAINED, ingestion-included
+    # 500-frame SLAM FPS (PNG decode + H2D + tracking + loop closure +
+    # pose graph) is the system number; the 32-frame pre-staged burst is
+    # kept in extra as the chip-throughput figure. Falls back to the
+    # burst when the long stage didn't run (QUICK mode / budget hit).
+    extra["burst_prestaged_fps_full_res"] = round(fps, 3)
+    e2e = extra.get("e2e_ingest_fps_500f_half_res")
+    if isinstance(e2e, (int, float)):
+        metric = "slam_e2e_fps_per_chip_500f"
+        value = float(e2e)
+    else:
+        metric = "stereo_vo_fps_per_chip"
+        value = round(fps, 3)
     print(
         json.dumps(
             {
-                "metric": "stereo_vo_fps_per_chip",
-                "value": round(fps, 3),
+                "metric": metric,
+                "value": value,
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 10.0, 3),
+                "vs_baseline": round(value / 10.0, 3),
                 "extra": extra,
             }
         )

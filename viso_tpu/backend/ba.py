@@ -74,6 +74,14 @@ class BAParams(NamedTuple):
     lam_down: float = 0.5
     num_fixed: int = 2           # frozen gauge cameras
     min_depth: float = 1e-3
+    # lax.scan unroll for the LM loop: >1 lets XLA fuse/pipeline across
+    # iterations of this dependency-latency-bound executable (the
+    # per-iteration kernels are tiny; see README "BA ceiling").
+    unroll: int = 1
+    # Reduced-camera-system solve: "chol" (Cholesky — S is SPD after
+    # damping + gauge pinning; no pivoting, one less inner while loop,
+    # measured 790 vs 702 LM iters/s on the 50kf/4096lm bench) or "lu".
+    solver: str = "chol"
 
 
 # ---------------------------------------------------------------------------
@@ -272,7 +280,7 @@ def _lm_iteration(
 
     delta_c, delta_p, cost = schur_solve(
         U, V, W, g_c, g_p, lam, prob.point_mask, free, axis_name=axis_name,
-        fold_scalar=cost,
+        fold_scalar=cost, solver=params.solver,
     )
 
     R_new, t_new = jax.vmap(se3.left_update)(delta_c, R, t)
@@ -282,7 +290,7 @@ def _lm_iteration(
 
 def schur_solve(
     U, V, W, g_c, g_p, lam, point_mask, free, axis_name=None,
-    fold_scalar=None,
+    fold_scalar=None, solver="chol",
 ):
     """Damped Schur-complement solve of a 6/3 block system, slab form.
 
@@ -353,7 +361,15 @@ def schur_solve(
 
     # Dense reduced camera solve (6C x 6C).
     S_flat = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
-    delta_c = jnp.linalg.solve(S_flat, b_red.reshape(6 * C)).reshape(C, 6)
+    if solver == "chol":
+        # S is SPD after damping + gauge pinning; Cholesky halves the
+        # factorization work and avoids LU pivoting's serial chain.
+        chol = jnp.linalg.cholesky(S_flat)
+        delta_c = jax.scipy.linalg.cho_solve(
+            (chol, True), b_red.reshape(6 * C)
+        ).reshape(C, 6)
+    else:
+        delta_c = jnp.linalg.solve(S_flat, b_red.reshape(6 * C)).reshape(C, 6)
     delta_c = jnp.where(jnp.isfinite(delta_c), delta_c, 0.0) * free_f[:, None]
 
     # Back-substitute landmark updates (all (., L)-plane arithmetic).
@@ -405,7 +421,9 @@ def solve_impl(prob: BAProblem, params: BAParams = BAParams(), axis_name=None):
 
     cost0, n_obs = compute_cost(prob, params, None, axis_name)
     init = (prob.R, prob.t, prob.points, jnp.asarray(params.lam0, prob.R.dtype))
-    (R, t, points, lam), cost_hist = jax.lax.scan(body, init, truncs)
+    (R, t, points, lam), cost_hist = jax.lax.scan(
+        body, init, truncs, unroll=params.unroll
+    )
     cost, _ = compute_cost(
         prob._replace(R=R, t=t, points=points), params, None, axis_name
     )

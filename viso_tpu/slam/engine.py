@@ -80,6 +80,10 @@ class VOConfig:
     # scale collapsed 4x within 8 frames from a 1-frame-baseline
     # bootstrap; see tools/diag_mono_seam.py).
     init_min_parallax_deg: float = 1.5
+    # Per-landmark parallax floor for NEW-landmark triangulation at
+    # mono keyframes (see _build_mono_kf_kernel): below this the depth
+    # is noise, not measurement. Degrees.
+    min_triangulation_parallax_deg: float = 0.5
 
     # Tracking
     ransac_threshold_px: float = 2.0
@@ -399,8 +403,19 @@ class BaseVO:
             # start). Zero velocity keeps the recovery keyframe's
             # landmarks inside the next frame's GN convergence basin.
             lost = n_tracked < cfg.min_lost_points
-            R_new = jnp.where(use_refined, R_f, jnp.where(lost, R, R_d))
-            t_new = jnp.where(use_refined, t_f, jnp.where(lost, t, t_d))
+            # Degraded regime (min_lost <= tracked < min_tracked): hold
+            # the clamped constant-velocity model (R0, t0) instead of a
+            # starved solve. A pose fit against <30 (mostly-occluded)
+            # landmarks is noise, and in MONOCULAR tracking its damage
+            # is permanent: poses carry the segment scale, so garbage
+            # steps during an occlusion pass re-anchor all subsequent
+            # triangulation at a new scale (measured: a near-field
+            # obstacle pass at 10 tracked landmarks blew the segment
+            # scale up 10x with no re-init to mark it). The motion
+            # model is scale-consistent by construction; the gates
+            # filter what its pose errors do to new landmarks.
+            R_new = jnp.where(use_refined, R_f, jnp.where(lost, R, R0))
+            t_new = jnp.where(use_refined, t_f, jnp.where(lost, t, t0))
             # Scatter results back to full landmark index space.
             ok_align = jnp.zeros(L, bool).at[active].set(ok_a)
             refined = jnp.zeros((L, 2), refined_a.dtype).at[active].set(refined_a)
@@ -1222,7 +1237,18 @@ class MonocularVO(BaseVO):
         """
         cfg = self.cfg
         ir = self.init_ref
-        reseed = ir is None or (self.frame_idx - ir[4]) >= cfg.reinitialize_after
+        # With chaining, the reference's fixed reseed cadence
+        # (reinitialize_after, viso.h:20) would CAP the accumulated
+        # baseline: deep in a corridor, parallax accumulates ~0.05
+        # deg/frame and a 10-frame reseed can never reach the accept
+        # gate (measured: a mid-run re-init stalled 300+ frames in a
+        # reseed<->gate deadlock). The chain reseeds when it DIES
+        # (track count below min_init_tracks, e.g. after a blackout)
+        # and only otherwise at 4x the reference cadence.
+        reseed = (
+            ir is None
+            or (self.frame_idx - ir[4]) >= 4 * cfg.reinitialize_after
+        )
         if not reseed:
             ref_pyr, ref_kps, cur_kps, mask, ref_idx = ir
             kp2, err, ok = lk.track(self.last_pyr, pyr, cur_kps, mask)
@@ -1258,11 +1284,49 @@ class MonocularVO(BaseVO):
             return
         # Rotation-compensated baseline gate: keep chaining until the
         # triangulated parallax supports a stable map (see
-        # init_min_parallax_deg).
-        if float(med_par) < cfg.init_min_parallax_deg:
+        # init_min_parallax_deg). The bar RELAXES with init age — every
+        # uninitialized frame is dead reckoning, whose drift cost grows
+        # linearly, while far scenes (deep corridor) may accumulate
+        # parallax 10x slower than the gate's design point; a fixed bar
+        # would trade unbounded drift for map quality. Floor at 1/6 of
+        # the configured gate (still a real gate — r1-r4 had none).
+        age = max(self.frame_idx - ref_idx, 1)
+        eff_par = cfg.init_min_parallax_deg * min(
+            1.0, cfg.reinitialize_after / age
+        )
+        eff_par = max(eff_par, cfg.init_min_parallax_deg / 6.0)
+        if float(med_par) < eff_par:
+            if os.environ.get("VISO_INIT_DEBUG") == "1":
+                import sys
+
+                print(
+                    f"[init] f{self.frame_idx} ref f{ref_idx} GATED"
+                    f" par={float(med_par):.2f}deg<{eff_par:.2f}"
+                    f" inl={int(n_inl)}",
+                    file=sys.stderr,
+                )
             return
         n_inl = int(n_inl)
-        if n_inl < cfg.min_init_tracks or n_inl < cfg.min_init_inlier_ratio * n_tracks:
+        # The inlier-RATIO gate also relaxes with age: chained LK
+        # accumulates ~0.1 px/frame of drift, so a 20-40-frame chain
+        # cannot hold the reference's 0.9 ratio (viso.cpp:76-77) even
+        # when 100+ inliers fit the motion perfectly (measured: every
+        # post-re-init chain on the deep corridor died here while the
+        # engine dead-reckoned 300 frames). Absolute count still
+        # applies; the floor keeps degenerate fits out.
+        ratio_eff = max(
+            0.6,
+            cfg.min_init_inlier_ratio * min(1.0, cfg.reinitialize_after / age),
+        )
+        if n_inl < cfg.min_init_tracks or n_inl < ratio_eff * n_tracks:
+            if os.environ.get("VISO_INIT_DEBUG") == "1":
+                import sys
+
+                print(
+                    f"[init] f{self.frame_idx} ref f{ref_idx} INL-GATED"
+                    f" inl={n_inl}/{n_tracks} ratio_eff={ratio_eff:.2f}",
+                    file=sys.stderr,
+                )
             return
         # Accept: promote both frames to keyframes (viso.cpp:79-98).
         # twoview works in the reference camera's frame (world == ref
@@ -1274,32 +1338,42 @@ class MonocularVO(BaseVO):
         if self.num_reinits > 0 and (
             depth_prior is not None or speed_prior is not None
         ):
+            # Two independent scale anchors with COMPLEMENTARY failure
+            # modes, cross-checked:
+            #  * depth continuity (match the bootstrap's median inlier
+            #    depth to the dying map's) is robust to the two-view's
+            #    baseline/depth ratio error, but WRONG when the visible
+            #    scene changed — a close-obstacle occlusion pass
+            #    re-inits onto structure ~8x nearer (measured on the
+            #    corridor bench: depth anchor alone re-entered at 1/8
+            #    the true scale).
+            #  * speed continuity (baseline = speed x gap) holds through
+            #    both blackouts and occlusions, but inherits the
+            #    two-view ratio error (up to ~2x at low parallax).
+            # Agreement within 2.5x -> depth (better conditioned);
+            # beyond -> the scene changed, trust speed.
+            s_d = None
             if depth_prior is not None:
-                # PRIMARY: depth continuity. Match the bootstrap's
-                # median inlier depth (ref-camera frame; frame1 == world
-                # in the two-view) to the dying map's median depth —
-                # robust to the low-parallax two-view's baseline/depth
-                # ratio error (see _reinitialize).
                 z = np.asarray(res.points[:, 2])
                 inl_np = np.asarray(res.inliers)
                 med_boot = float(np.median(z[inl_np])) if inl_np.any() else 0.0
-                s = (
-                    float(np.clip(depth_prior / med_boot, 0.1, 10.0))
-                    if med_boot > 1e-9
-                    else 1.0
-                )
-            else:
-                # Fallback: speed continuity — baseline = speed x gap
-                # (rotation preserves norms: baseline == |res.t|).
+                if med_boot > 1e-9:
+                    s_d = depth_prior / med_boot
+            s_s = None
+            if speed_prior is not None:
                 gap = max(1, self.frame_idx - ref_idx)
                 meas = float(np.linalg.norm(np.asarray(res.t)))
-                s = (
-                    float(np.clip(speed_prior * gap / meas, 0.1, 10.0))
-                    if meas > 1e-9
-                    else 1.0
-                )
-            res = res._replace(t=res.t * s, points=res.points * s)
-            s_dbg = s
+                if meas > 1e-9:
+                    s_s = speed_prior * gap / meas
+            if s_d is not None and s_s is not None:
+                ratio = s_d / s_s
+                s = s_d if 1 / 2.5 < ratio < 2.5 else s_s
+            else:
+                s = s_d if s_d is not None else s_s
+            if s is not None:
+                s = float(np.clip(s, 0.05, 20.0))
+                res = res._replace(t=res.t * s, points=res.points * s)
+                s_dbg = s
             self._scale_prior = None
             self._depth_prior = None
         if os.environ.get("VISO_INIT_DEBUG") == "1":
@@ -1392,13 +1466,65 @@ class MonocularVO(BaseVO):
             pts, d1, d2 = tri.triangulate(x1, x2, prev_R, prev_t, R, t)
             e1 = tri.reprojection_error(pts, x1, prev_R, prev_t)
             e2 = tri.reprojection_error(pts, x2, R, t)
+            # Per-landmark parallax gate: at near-zero parallax, depth
+            # is UNOBSERVABLE — the reprojection gate is depth-
+            # insensitive along the ray, so midpoint triangulation
+            # under pixel noise assigns essentially random (often tiny
+            # or negative) depths that pass every other gate. Admitting
+            # them poisons the map: measured on the forward-corridor
+            # mono bench, far-wall junk drove the live map's median
+            # landmark depth to 0.5 (5th pct NEGATIVE) in a 5-90 m
+            # scene and tracking collapsed (46 -> 2 landmarks aligned).
+            cosang = tri.parallax_cos(pts, prev_R, prev_t, R, t)
+            enough_parallax = cosang < jnp.cos(
+                jnp.deg2rad(cfg.min_triangulation_parallax_deg)
+            )
             good = (
                 ok_trk
                 & (d1 > 0.05)
                 & (d2 > 0.05)
+                & enough_parallax
                 & (e1 * cfg.fx < cfg.ransac_threshold_px)
                 & (e2 * cfg.fx < cfg.ransac_threshold_px)
             )
+            # FAR points: a low-parallax track's depth is unobservable,
+            # but its BEARING is gold — far scene structure is what
+            # anchors rotation (and a deep corridor may offer little
+            # else; dropping these starved tracking within ~20 frames,
+            # while admitting their junk depths poisoned the map).
+            # Assign a stable far depth (2x the 90th-pct well-
+            # triangulated depth) along the prev-KF ray; the wrong-but-
+            # far depth biases translation by ~nothing (flow from t is
+            # ~1/Z) and the cur-view reprojection gate still screens
+            # mismatches.
+            d_far = 2.0 * jnp.nanquantile(
+                jnp.where(good, d1, jnp.nan), 0.9
+            )
+            # Fallback when this keyframe triangulated nothing (e.g. a
+            # tracking crisis): stay RELATIVE to the existing map's
+            # depth scale — an absolute constant here once injected far
+            # points at ~12x the map's operating depth and blew the
+            # segment scale up 10x mid-run.
+            p_prev_cam = jnp.einsum("ij,nj->ni", prev_R, m.points) + prev_t
+            d_map = jnp.nanmedian(
+                jnp.where(m.point_mask, p_prev_cam[:, 2], jnp.nan)
+            )
+            d_far = jnp.where(jnp.isfinite(d_far), d_far, 4.0 * d_map)
+            prev_c = -prev_R.T @ prev_t
+            rays_w = (
+                jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+                @ prev_R
+            )   # R^T @ ray, rows: (N, 3)
+            pts_far = prev_c[None, :] + d_far * rays_w
+            e2_far = tri.reprojection_error(pts_far, x2, R, t)
+            far_ok = (
+                ok_trk
+                & ~enough_parallax
+                & jnp.isfinite(d_far)
+                & (e2_far * cfg.fx < cfg.ransac_threshold_px)
+            )
+            pts = jnp.where(enough_parallax[:, None], pts, pts_far)
+            good = good | far_ok
             m, slots, ok_alloc = map_state.allocate_landmarks(m, pts, good)
             m = map_state.set_observations(m, prev_slot, slots, uv_prev, ok_alloc)
             m = map_state.set_observations(m, slot, slots, uv_cur, ok_alloc)

@@ -82,6 +82,16 @@ class LoopParams:
     # beyond the drift budget. Set > 0 only for environments with
     # globally distinctive appearance.
     evidence_override: float = 0.0
+    # GRADED evidence scaling of the drift budget: the budget is
+    # multiplied by clamp(inliers / min_inliers, 1, this cap). Unlike
+    # evidence_override this never authorizes more than cap x the
+    # rate-based budget, so room-scale aliases (offsets many x budget)
+    # stay out while true loops under DEGRADED drift (measured ~2x the
+    # clean rate under exposure drift + noise + blur, putting d_trans
+    # 2-20% past the budget with 1.2-2x min_inliers of evidence) get
+    # through. The widened solve-health gate (max correction over ALL
+    # nodes) backstops anything this admits. 0 disables.
+    evidence_boost_cap: float = 1.6
     # Pose-graph optimization fires at most once per this many keyframe
     # insertions (loop edges still join the graph immediately and are
     # incorporated at the next event): per-keyframe event storms churn
@@ -462,6 +472,21 @@ class LoopDatabase:
                 bound_rad
                 + max(0.0, float(seam_r) - float(self.seam_r[best])),
             )
+        # GRADED evidence boost: the drift budget assumes clean-
+        # condition drift rates, but degraded conditions (exposure
+        # drift + noise + blur) double the real drift — and exactly
+        # those early, high-value loops then show d_trans just past the
+        # budget while carrying 1.5-2x the minimum inlier evidence
+        # (measured on the degraded orbit bench: 5 true loops rejected
+        # at d_trans 1.04-1.24 vs bound ~1.02 with 48-82 inliers).
+        # Scale the budget by the evidence ratio, capped, never past
+        # the hard ceilings.
+        if p.evidence_boost_cap > 0 and p.min_inliers > 0:
+            boost = max(
+                1.0, min(p.evidence_boost_cap, n_inl / p.min_inliers)
+            )
+            bound_m = min(p.max_correction_m, bound_m * boost)
+            bound_rad = min(p.max_correction_rad, bound_rad * boost)
         # Overwhelming evidence: geometry this strong overrides the
         # scaled bound (but never the hard ceiling). Off by default.
         if p.evidence_override > 0 and n_inl >= p.evidence_override * p.min_inliers:
