@@ -1365,13 +1365,8 @@ class MonocularVO(BaseVO):
                 meas = float(np.linalg.norm(np.asarray(res.t)))
                 if meas > 1e-9:
                     s_s = speed_prior * gap / meas
-            if s_d is not None and s_s is not None:
-                ratio = s_d / s_s
-                s = s_d if 1 / 2.5 < ratio < 2.5 else s_s
-            else:
-                s = s_d if s_d is not None else s_s
+            s = blend_recovery_scale(s_d, s_s)
             if s is not None:
-                s = float(np.clip(s, 0.05, 20.0))
                 res = res._replace(t=res.t * s, points=res.points * s)
                 s_dbg = s
             self._scale_prior = None
@@ -1545,6 +1540,24 @@ class MonocularVO(BaseVO):
             self.map, slot, jnp.asarray(evict), prev_slot,
             self.R, self.t, self.frame_idx, pyr, ok_align, refined,
         )
+
+
+def blend_recovery_scale(s_d, s_s, agree=2.5, lo=0.05, hi=20.0):
+    """Cross-check the two recovery scale anchors (see _try_initialize).
+
+    s_d: depth-continuity estimate (robust to the two-view ratio error,
+    wrong across occlusions); s_s: speed-continuity estimate (holds
+    through occlusions, carries the ratio error). Agreement within
+    `agree`x picks depth; disagreement picks speed; either may be None.
+    Returns a clipped float or None."""
+    if s_d is not None and s_s is not None:
+        ratio = s_d / s_s
+        s = s_d if 1.0 / agree < ratio < agree else s_s
+    else:
+        s = s_d if s_d is not None else s_s
+    if s is None:
+        return None
+    return float(np.clip(s, lo, hi))
 
 
 def _pull_poses(results):
