@@ -55,7 +55,7 @@ def device_metrics(vo, staged_imgs, n=48):
     track = vo._kernels["track"]
     args0 = (
         vo.map, vo._templates, vo._active_idx, staged_imgs[0],
-        vo.R, vo.t, vo.prev_R, vo.prev_t,
+        vo.R, vo.t, vo.vel_xi,
     )
     cost = track.lower(*args0).compile().cost_analysis()
     if isinstance(cost, (list, tuple)):
@@ -65,14 +65,14 @@ def device_metrics(vo, staged_imgs, n=48):
     out = track(*args0)
     jax.block_until_ready(out[0])
     t0 = time.perf_counter()
-    R, t = out[0], out[1]
+    R, t, vel = out[0], out[1], out[6]
     for i in range(n):
         out = track(
             vo.map, vo._templates, vo._active_idx,
             staged_imgs[i % len(staged_imgs)],
-            R, t, vo.prev_R, vo.prev_t,
+            R, t, vel,
         )
-        R, t = out[0], out[1]
+        R, t, vel = out[0], out[1], out[6]
     jax.block_until_ready(R)
     s_frame = (time.perf_counter() - t0) / n
     return {
@@ -224,7 +224,7 @@ def bench_headline(with_device_metrics=True, engine="vo"):
             )
             cam_fixed = np.zeros(cfg.max_keyframes, bool)
             cam_fixed[vo.kf_order[0]] = True
-            ba_args = (vo.map, jnp.asarray(cam_fixed), vo.kf_order[-1])
+            ba_args = (vo.map, jnp.asarray(cam_fixed), vo.kf_order[-1], vo.R, vo.t)
             dev.update(
                 kernel_silicon(vo._kernels["ba"], ba_args, name="window_ba")
             )
@@ -382,7 +382,7 @@ def bench_mono(n_frames=500, warmup=60):
         # stereo benches' deep pipeline (lag 8, hard 16) every sample
         # predates the last keyframe (gap 8), so recovery never fires
         # and a mid-run tracking collapse is permanent.
-        stats_max_lag=2, stats_hard_lag=4,
+        stats_max_lag=2, stats_hard_lag=4, stats_deterministic=True,
         # Mono tracks a smaller fraction of its feature budget than
         # stereo (landmarks come from two-view parallax, not disparity):
         # 0.6 would fire the visibility keyframe gate every kf_min_gap.
@@ -475,7 +475,7 @@ def bench_mono_slam(n_frames=500, warmup=40):
         cx=KITTI_FULL["cx"] / 2, cy=KITTI_FULL["cy"] / 2,
         num_features=256, max_landmarks=1024, detect_grid=(4, 8),
         fast_threshold=6.0, kf_max_gap=8, kf_min_gap=2,
-        stats_max_lag=2, stats_hard_lag=4,
+        stats_max_lag=2, stats_hard_lag=4, stats_deterministic=True,
         kf_min_visible_frac=0.45,
         disparity_squared_thresh=25.0,
     )

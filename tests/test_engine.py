@@ -200,10 +200,10 @@ def test_degraded_regime_holds_motion_model(corridor):
     for img in frames[:20]:
         vo.process(img)
     assert vo.state == "tracking"
-    # Predicted next pose from the motion model (same clamped twist as
-    # the track kernel's warm start).
+    # Predicted next pose from the FILTERED velocity twist (what the
+    # track kernel's warm start and the degraded-regime hold use).
     R_prev, t_prev = np.asarray(vo.R), np.asarray(vo.t)
-    dR, dt = se3_mod.relative(vo.R, vo.t, vo.prev_R, vo.prev_t)
+    dR, dt = se3_mod.se3_exp(vo.vel_xi)
     R_pred, t_pred = (np.asarray(a) for a in se3_mod.compose(dR, dt, vo.R, vo.t))
     # A structureless frame: tracking collapses below min_tracked but
     # (with a few accidental alignments) may stay above min_lost.

@@ -43,7 +43,7 @@ def run_backend(backend, frames, cfg_kw):
     if "ba" in vo._kernels:
         cam_fixed = np.zeros(vo.cfg.max_keyframes, bool)
         cam_fixed[vo.kf_order[0]] = True
-        args = (vo.map, jnp.asarray(cam_fixed), vo.kf_order[-1])
+        args = (vo.map, jnp.asarray(cam_fixed), vo.kf_order[-1], vo.R, vo.t)
         out = vo._kernels["ba"](*args)
         jax.block_until_ready(jax.tree.leaves(out)[0])
         n = 16

@@ -73,7 +73,7 @@ def main():
     img_dev = jnp.asarray(il8)
     kern = vo._kernels["track"]
     args = (vo.map, vo._templates, vo._active_idx, img_dev, vo.R, vo.t,
-            vo.prev_R, vo.prev_t)
+            vo.vel_xi)
     t = timeit(lambda: jax.block_until_ready(kern(*args)), 10)
     print(f"track kernel            : {t*1e3:8.2f} ms")
 

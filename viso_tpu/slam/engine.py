@@ -112,6 +112,24 @@ class VOConfig:
     lost_reinit_after: int = 3
     max_step_translation: float = 3.0   # per-frame motion-model clamps
     max_step_rotation: float = 0.5
+    # ACCELERATION gate on the refined solve: a step deviating from the
+    # filtered velocity by more than this (rad / m per frame) is
+    # physically absurd for any platform with inertia and marks a
+    # degenerate solve, not motion (measured on the mono corridor: ONE
+    # garbage solve at 31 tracked landmarks during an occlusion pass
+    # acquired 12.8 deg of rotation error in a single step — the whole
+    # run's rotation budget). Rejected solves hold the motion model and
+    # report a lost frame so recovery triggers promptly.
+    max_accel_rotation: float = 0.2
+    max_accel_translation: float = 1.0
+    # Window-BA adoption bounds (tighter than the per-frame gate): BA
+    # polishes a pose tracking JUST estimated, so a healthy shift is
+    # sub-degree / centimeters; a window poisoned by an occlusion
+    # crisis can "converge" several degrees away per keyframe and still
+    # slip under the per-frame acceleration gate. Rejection keeps the
+    # pre-BA map + pose (no refinement that keyframe — safe).
+    max_ba_shift_rotation: float = 0.05
+    max_ba_shift_translation: float = 0.5
 
     # Keyframe policy
     kf_min_gap: int = 3
@@ -135,6 +153,15 @@ class VOConfig:
     # keep the dispatch loop at device speed, while lower values trade
     # blocked readback time for faster keyframe/lost reactions.
     stats_hard_lag: int = 0
+    # Deterministic stats schedule: consume each frame's stats sample at
+    # EXACTLY stats_hard_lag frames of age (blocking when the link is
+    # slower than dispatch) instead of opportunistically when it lands.
+    # Pins every keyframe / lost / loop decision to a fixed schedule —
+    # run-to-run reproducibility at a bounded throughput cost
+    # (~RTT/stats_hard_lag per frame worst case). Off by default; the
+    # mono benches enable it (their accuracy depends on decision timing
+    # far more than stereo's).
+    stats_deterministic: bool = False
 
     # Backend
     ba_iters: int = 8
@@ -197,6 +224,11 @@ class BaseVO:
         self.t = jnp.zeros(3, jnp.float32)
         self.prev_R = self.R
         self.prev_t = self.t
+        # Filtered per-frame velocity twist (EMA over healthy frames):
+        # the track kernel's constant-velocity warm start and the
+        # degraded-regime hold both read THIS, not the raw single-step
+        # twist (see _build_track_kernel).
+        self.vel_xi = jnp.zeros(6, jnp.float32)
         self.last_kf_frame = -(10**9)
         self.kf_order: list[int] = []   # slots, oldest first
         self.results: list[FrameResult] = []
@@ -282,24 +314,6 @@ class BaseVO:
                     return s
         return self.kf_order.pop(0)
 
-    def _motion_prediction(self):
-        """Constant-velocity model: T_pred = (T_cur T_prev^-1) T_cur.
-
-        The velocity twist is clamped: when tracking degrades, an
-        unbounded velocity estimate compounds exponentially frame-over-
-        frame (observed: 1e15 m drift within 5 frames of losing track).
-        """
-        dR, dt = se3.relative(self.R, self.t, self.prev_R, self.prev_t)
-        xi = se3.se3_log(dR, dt)
-        rho, phi = xi[:3], xi[3:]
-        max_t, max_r = self.cfg.max_step_translation, self.cfg.max_step_rotation
-        t_norm = jnp.linalg.norm(rho)
-        r_norm = jnp.linalg.norm(phi)
-        rho = rho * jnp.minimum(1.0, max_t / jnp.maximum(t_norm, 1e-9))
-        phi = phi * jnp.minimum(1.0, max_r / jnp.maximum(r_norm, 1e-9))
-        dR, dt = se3.se3_exp(jnp.concatenate([rho, phi]))
-        return se3.compose(dR, dt, self.R, self.t)
-
     def _detect(self, pyr):
         cfg = self.cfg
         per_cell = max(
@@ -328,27 +342,35 @@ class BaseVO:
 
         @jax.jit
         def track(
-            m: map_state.MapState, templates, active, img, R, t,
-            prev_R, prev_t,
+            m: map_state.MapState, templates, active, img, R, t, vel_xi,
         ):
             # Pyramid built in-kernel: one host->device launch per frame.
             # Images arrive as uint8 (4x less tunnel/host-link traffic)
             # and are promoted to f32 on device.
             pyr = pyramid.build_pyramid(img.astype(jnp.float32), cfg.pyramid_levels)
-            # Constant-velocity warm start with a clamped twist: an
-            # unbounded velocity estimate compounds exponentially once
-            # tracking degrades.
-            dR, dt = se3.relative(R, t, prev_R, prev_t)
-            xi = se3.se3_log(dR, dt)
-            t_norm = jnp.linalg.norm(xi[:3])
-            r_norm = jnp.linalg.norm(xi[3:])
-            rho = xi[:3] * jnp.minimum(
-                1.0, cfg.max_step_translation / jnp.maximum(t_norm, 1e-9)
-            )
-            phi = xi[3:] * jnp.minimum(
-                1.0, cfg.max_step_rotation / jnp.maximum(r_norm, 1e-9)
-            )
-            dR, dt = se3.se3_exp(jnp.concatenate([rho, phi]))
+
+            def clamp_twist(xi):
+                t_norm = jnp.linalg.norm(xi[:3])
+                r_norm = jnp.linalg.norm(xi[3:])
+                rho = xi[:3] * jnp.minimum(
+                    1.0,
+                    cfg.max_step_translation / jnp.maximum(t_norm, 1e-9),
+                )
+                phi = xi[3:] * jnp.minimum(
+                    1.0, cfg.max_step_rotation / jnp.maximum(r_norm, 1e-9)
+                )
+                return jnp.concatenate([rho, phi])
+
+            # Constant-velocity warm start from the FILTERED velocity
+            # twist (EMA over healthy frames, clamped). The r1-r4 warm
+            # start used the raw single-step twist; its per-step
+            # rotation noise (~0.1-0.3 deg) is harmless for one frame
+            # but COMPOUNDS verbatim whenever the degraded regime holds
+            # the motion model through an occlusion pass (measured on
+            # the mono corridor: 12 deg of yaw error acquired in one
+            # ~40-frame crisis window, flat everywhere else).
+            xi_warm = clamp_twist(vel_xi)
+            dR, dt = se3.se3_exp(xi_warm)
             R0, t0 = se3.compose(dR, dt, R, t)
 
             # Active subset: frozen per keyframe (chosen when templates
@@ -392,7 +414,20 @@ class BaseVO:
                 iters=4,
             )
             n_tracked = jnp.sum(ok_a)
-            use_refined = n_tracked >= cfg.min_tracked_points
+            # Acceleration sanity of the refined candidate: its step
+            # must stay within max_accel_* of the filtered velocity
+            # (see VOConfig) — a wildly-deviating step is a degenerate
+            # solve (occluded/clustered landmark geometry), and in
+            # monocular tracking one such step permanently re-anchors
+            # the segment (poses carry the scale AND the heading).
+            dRm, dtm = se3.relative(R_f, t_f, R, t)
+            xi_meas = clamp_twist(se3.se3_log(dRm, dtm))
+            dev = xi_meas - vel_xi
+            sane = (
+                (jnp.linalg.norm(dev[3:]) <= cfg.max_accel_rotation)
+                & (jnp.linalg.norm(dev[:3]) <= cfg.max_accel_translation)
+            )
+            use_refined = (n_tracked >= cfg.min_tracked_points) & sane
             # Lost frame: HOLD the previous pose instead of dead-reckoning.
             # Keyframe-templated tracking (unlike frame-to-frame) never
             # re-measures relative motion once the template is invisible,
@@ -416,17 +451,27 @@ class BaseVO:
             # filter what its pose errors do to new landmarks.
             R_new = jnp.where(use_refined, R_f, jnp.where(lost, R, R0))
             t_new = jnp.where(use_refined, t_f, jnp.where(lost, t, t0))
+            # Velocity filter update: blend in THIS frame's measured
+            # step only when the solve was trusted; held/lost frames
+            # keep the filter (their "step" is the filter's own
+            # prediction — or zero — and would only wash it out).
+            vel_new = jnp.where(
+                use_refined, 0.7 * vel_xi + 0.3 * xi_meas, vel_xi
+            )
             # Scatter results back to full landmark index space.
             ok_align = jnp.zeros(L, bool).at[active].set(ok_a)
             refined = jnp.zeros((L, 2), refined_a.dtype).at[active].set(refined_a)
             # Pack the per-frame scalars into ONE small array so the host
             # needs a single device->host transfer (the TPU sits behind a
             # ~30 ms round-trip tunnel; scalar readbacks are the frame
-            # budget's biggest enemy).
+            # budget's biggest enemy). An accel-gate rejection reports a
+            # LOST frame: physically-absurd solves are evidence tracking
+            # is broken, and the host's lost counter should see it.
+            n_rep = jnp.where(sane, n_tracked, 0)
             stats = jnp.stack(
-                [n_tracked.astype(jnp.int32), m.num_points.astype(jnp.int32)]
+                [n_rep.astype(jnp.int32), m.num_points.astype(jnp.int32)]
             )
-            return R_new, t_new, ok_align, refined, stats, pyr
+            return R_new, t_new, ok_align, refined, stats, pyr, vel_new
 
         return track
 
@@ -519,9 +564,12 @@ class BaseVO:
             return dist_ba.pad_landmarks(prob, n_dev)
 
         @jax.jit
-        def finish(m: map_state.MapState, R, t, points, pose_slot):
-            m = map_state.update_from_ba(m, R, t, points[:L0])
-            return m, m.kf_R[pose_slot], m.kf_t[pose_slot]
+        def finish(m: map_state.MapState, R, t, points, pose_slot, R0, t0):
+            m_new = map_state.update_from_ba(m, R, t, points[:L0])
+            return BaseVO._gate_ba_adoption(
+                m, m_new, m_new.kf_R[pose_slot], m_new.kf_t[pose_slot],
+                R0, t0, cfg,
+            )
 
         P = jshard.PartitionSpec
         shard_l = jshard.NamedSharding(mesh, P(mesh_mod.LANDMARK_AXIS))
@@ -548,7 +596,7 @@ class BaseVO:
             def collect(R, t, points, cost):
                 return R, t, points, cost
 
-        def run(m, cam_fixed, pose_slot):
+        def run(m, cam_fixed, pose_slot, R0, t0):
             prob = prep(m, cam_fixed)
             if multiproc:
                 # Host-stage the (identical-on-every-process) problem so
@@ -569,10 +617,32 @@ class BaseVO:
                 R, t, points, cost = jax.device_put(
                     (out.R, out.t, out.points, info["final_cost"]), dev0
                 )
-            m, R_new, t_new = finish(m, R, t, points, pose_slot)
+            m, R_new, t_new = finish(m, R, t, points, pose_slot, R0, t0)
             return m, cost, R_new, t_new
 
         return run
+
+    @staticmethod
+    def _gate_ba_adoption(m_old, m_new, R_new, t_new, R0, t0, cfg):
+        """Accept the BA result only when its newest-pose shift is
+        physically sane (same acceleration bounds as the track kernel's
+        solve gate): a window poisoned by an occlusion crisis can
+        'converge' to a pose 10+ degrees away in one keyframe, and that
+        jump bypasses every per-frame gate (measured: the mono
+        corridor's entire 13-degree rotation error arrived through ONE
+        such BA adoption). Rejection keeps the pre-BA map and pose."""
+        dR, dt = se3.relative(R_new, t_new, R0, t0)
+        xi = se3.se3_log(dR, dt)
+        sane = (
+            (jnp.linalg.norm(xi[3:]) <= cfg.max_ba_shift_rotation)
+            & (jnp.linalg.norm(xi[:3]) <= cfg.max_ba_shift_translation)
+        )
+        m = jax.tree.map(
+            lambda a, b: jnp.where(sane, a, b), m_new, m_old
+        )
+        R_out = jnp.where(sane, R_new, R0)
+        t_out = jnp.where(sane, t_new, t0)
+        return m, R_out, t_out
 
     def _run_window_ba(self, fixed_slots):
         cfg = self.cfg
@@ -599,17 +669,24 @@ class BaseVO:
                 level = cfg.photo_ba_level
 
                 @jax.jit
-                def run_ba(m: map_state.MapState, cam_fixed, pose_slot):
+                def run_ba(m: map_state.MapState, cam_fixed, pose_slot,
+                           R0, t0):
                     prob, intr_l = map_state.as_photo_ba_problem(
                         m, intr, level=level
                     )
                     prob = prob._replace(cam_fixed=cam_fixed)
                     out, info = pba.solve_impl(prob, intr_l, pparams)
-                    m = map_state.update_from_ba(m, out.R, out.t, out.points)
+                    m_new = map_state.update_from_ba(
+                        m, out.R, out.t, out.points
+                    )
                     # Newest keyframe's adjusted pose, returned directly:
                     # a host-side m.kf_R[slot] would cost two extra
                     # dispatches per keyframe.
-                    return m, info["final_cost"], out.R[pose_slot], out.t[pose_slot]
+                    m_out, R_out, t_out = BaseVO._gate_ba_adoption(
+                        m, m_new, out.R[pose_slot], out.t[pose_slot],
+                        R0, t0, cfg,
+                    )
+                    return m_out, info["final_cost"], R_out, t_out
             else:
                 params = ba.BAParams(
                     iters=cfg.ba_iters,
@@ -619,18 +696,25 @@ class BaseVO:
                 )
 
                 @jax.jit
-                def run_ba(m: map_state.MapState, cam_fixed, pose_slot):
+                def run_ba(m: map_state.MapState, cam_fixed, pose_slot,
+                           R0, t0):
                     prob = map_state.as_ba_problem(m, intr)
                     prob = prob._replace(cam_fixed=cam_fixed)
                     out, info = ba.solve_impl(prob, params)
-                    m = map_state.update_from_ba(m, out.R, out.t, out.points)
-                    return m, info["final_cost"], out.R[pose_slot], out.t[pose_slot]
+                    m_new = map_state.update_from_ba(
+                        m, out.R, out.t, out.points
+                    )
+                    m_out, R_out, t_out = BaseVO._gate_ba_adoption(
+                        m, m_new, out.R[pose_slot], out.t[pose_slot],
+                        R0, t0, cfg,
+                    )
+                    return m_out, info["final_cost"], R_out, t_out
 
             self._kernels["ba"] = run_ba
         slot = self.kf_order[-1]
         R0, t0 = self.R, self.t
         self.map, final_cost, self.R, self.t = self._kernels["ba"](
-            self.map, jnp.asarray(cam_fixed), slot
+            self.map, jnp.asarray(cam_fixed), slot, R0, t0
         )
         # Transfer BA's pose correction onto prev_* (world-side:
         # T_new = T_old o G^-1  =>  prev_new = prev_old o (T0^-1 o T1)),
@@ -661,13 +745,14 @@ class BaseVO:
         if "track" not in self._kernels:
             self._kernels["track"] = self._build_track_kernel()
         (
-            R_new, t_new, ok_align, refined, stats, pyr
+            R_new, t_new, ok_align, refined, stats, pyr, vel_new
         ) = self._kernels["track"](
             self.map, self._templates, self._active_idx, img,
-            self.R, self.t, self.prev_R, self.prev_t,
+            self.R, self.t, self.vel_xi,
         )
         self.prev_R, self.prev_t = self.R, self.t
         self.R, self.t = R_new, t_new
+        self.vel_xi = vel_new
         q = getattr(self, "_pending_stats_q", None)
         if q is None:
             q = self._pending_stats_q = []
@@ -696,11 +781,25 @@ class BaseVO:
             q.append(
                 (self.frame_idx, self._stats_reader.submit(np.asarray, stats))
             )
-        # Consume every fetch that has landed host-side (non-blocking).
+        # Consume every fetch that has landed host-side (non-blocking) —
+        # or, in DETERMINISTIC mode, consume each fetch at EXACTLY
+        # stats_hard_lag frames of age (blocking if it has not landed).
+        # Opportunistic consumption makes keyframe / lost / loop
+        # decisions depend on link-timing races: identical inputs
+        # produced 4-13 loops and 0.45-1.7 m ATE across mono-orbit runs.
+        # Fixed-age consumption pins the whole decision schedule; at
+        # steady state the fetch has landed by age Δ (Δ ≈ RTT/frame
+        # time), so the join is free unless dispatch outruns the link.
         consumed = None
-        while q and q[0][1].done():
-            f, fut = q.pop(0)
-            consumed = (f, fut.result())
+        if self.cfg.stats_deterministic:
+            delta = self.cfg.stats_hard_lag or self.cfg.stats_max_lag
+            while q and self.frame_idx - q[0][0] >= delta:
+                f, fut = q.pop(0)
+                consumed = (f, fut.result())
+        else:
+            while q and q[0][1].done():
+                f, fut = q.pop(0)
+                consumed = (f, fut.result())
         # Hard staleness bound: a fetch completes only when ITS frame's
         # device compute has finished, so on a backend where dispatch
         # outruns compute (CPU tests dispatch in ~1 ms while a frame
@@ -1144,6 +1243,15 @@ class MonocularVO(BaseVO):
         self.state = "init"
         self.init_base = (self.R, self.t)
         self.prev_R, self.prev_t = self.R, self.t   # zero velocity
+        # Velocity filter: carry the pre-loss per-frame increment when
+        # one exists (it also drives _dead_reckon), else reset.
+        dr = getattr(self, "_dr_fwd", None) or self._recent_fwd()
+        if dr is not None:
+            self.vel_xi = se3.se3_log(
+                jnp.asarray(dr[0]), jnp.asarray(dr[1])
+            )
+        else:
+            self.vel_xi = jnp.zeros(6, jnp.float32)
         self.init_ref = None
         self.num_reinits += 1
         # SLAM layers treat the post-reinit odometry edge as dead
@@ -1402,6 +1510,13 @@ class MonocularVO(BaseVO):
         self.map = map_state.set_observations(self.map, slot1, slots, kp2, ok_alloc)
         self.R, self.t = R1, t1
         self.prev_R, self.prev_t = Rb, tb
+        # Velocity filter seed: the bootstrap's relative motion spans
+        # `gap` chained frames — dividing its twist gives the PER-FRAME
+        # velocity. (Leaving prev=ref would make the raw single-step
+        # model predict gap x the true motion for the next frame.)
+        gap_f = float(max(1, self.frame_idx - ref_idx))
+        dR_b, dt_b = se3.relative(R1, t1, Rb, tb)
+        self.vel_xi = se3.se3_log(dR_b, dt_b) / gap_f
         self.last_kf_frame = self.frame_idx
         self._refresh_templates(slot1)
         self.state = "tracking"

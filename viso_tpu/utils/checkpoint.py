@@ -87,6 +87,7 @@ def save_slam(path: str, slam, extra: dict | None = None):
         "obs_uv": slam.map.obs_uv, "obs_mask": slam.map.obs_mask,
         "R": slam.R, "t": slam.t,
         "prev_R": slam.prev_R, "prev_t": slam.prev_t,
+        "vel_xi": slam.vel_xi,
         "pg_raw_R": np.stack(slam.pg_raw_R) if slam.pg_raw_R else np.zeros((0, 3, 3)),
         "pg_raw_t": np.stack(slam.pg_raw_t) if slam.pg_raw_t else np.zeros((0, 3)),
         "pg_R": np.stack(slam.pg_R) if slam.pg_R else np.zeros((0, 3, 3)),
@@ -182,6 +183,8 @@ def load_slam(path: str, config, loop_params=None):
     slam.t = jnp.asarray(data["t"])
     slam.prev_R = jnp.asarray(data["prev_R"])
     slam.prev_t = jnp.asarray(data["prev_t"])
+    if "vel_xi" in data:   # absent in pre-r5 checkpoints
+        slam.vel_xi = jnp.asarray(data["vel_xi"])
     slam.frame_idx = meta["frame_idx"]
     slam.last_kf_frame = meta["last_kf_frame"]
     slam.kf_order = list(meta["kf_order"])
